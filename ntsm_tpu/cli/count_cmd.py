@@ -1,0 +1,152 @@
+"""``ntsm count`` — flag-compatible with ntsmCount (src/ntSeqMatchCount.cpp).
+
+Output contract (byte-compatible):
+  stdout: #@TK/#@KS header + per-site count table
+          (FingerPrint.hpp:261-311)
+  stderr: info summary + "Time: ... Memory: ..." line
+          (ntSeqMatchCount.cpp:181-183)
+"""
+
+from __future__ import annotations
+
+import getopt
+import math
+import os
+import sys
+import time
+
+from ntsm_tpu.options import Options
+
+HELP = """Usage: ntsm count -s [FASTA] [OPTION]... [FILES...]
+  -t, --threads = INT    Number of threads to run.[1]
+  -m, --maxCov = INT     k-mer coverage threshold for early
+                         termination. [inf]
+  -o, --output = STR     Output for summary file.
+  -d, --dupes            Allow shared k-mers between sites to
+                         be counted.
+  -s, --snp = STR        Interleaved fasta of SNP sites to
+                         k-merize. [required]
+  -k, --kmer = INT       k-mer size used. [19]
+  -h, --help             Display this dialog.
+  -v, --verbose          Display verbose output.
+      --version          Print version information.
+      --engine = STR     ntsm_tpu extension: tpu (default), golden, pallas.
+"""
+
+
+def run(argv) -> int:
+    opts = Options()
+    engine = "tpu"
+    try:
+        parsed, files = getopt.gnu_getopt(
+            argv,
+            "s:t:vhk:m:do:",
+            [
+                "threads=",
+                "maxCov=",
+                "output=",
+                "dupes",
+                "snp=",
+                "kmer=",
+                "help",
+                "version",
+                "verbose",
+                "engine=",
+            ],
+        )
+    except getopt.GetoptError as e:
+        print(f"ntsm count: {e}", file=sys.stderr)
+        print("Try '--help' for more information.", file=sys.stderr)
+        return 1
+
+    for flag, val in parsed:
+        if flag in ("-h", "--help"):
+            print(HELP, file=sys.stderr)
+            return 0
+        elif flag == "--version":
+            from ntsm_tpu import __version__
+
+            print(f"ntsm count (ntsm_tpu) {__version__}", file=sys.stderr)
+            return 0
+        elif flag in ("-t", "--threads"):
+            opts = opts.replace(threads=int(val))
+        elif flag in ("-m", "--maxCov"):
+            opts = opts.replace(cov_thresh=float(val))
+        elif flag in ("-o", "--output"):
+            opts = opts.replace(summary=val)
+        elif flag in ("-d", "--dupes"):
+            opts = opts.replace(dupes=True)
+        elif flag in ("-s", "--snp"):
+            opts = opts.replace(snp=val)
+        elif flag in ("-k", "--kmer"):
+            opts = opts.replace(k=int(val))
+        elif flag in ("-v", "--verbose"):
+            opts = opts.replace(verbose=opts.verbose + 1)
+        elif flag == "--engine":
+            engine = val
+
+    die = False
+    if opts.k > 32:
+        print("Error: k cannot be greater than 32", file=sys.stderr)
+        die = True
+    if not opts.snp:
+        print("Error: Missing variants (-s) file", file=sys.stderr)
+        die = True
+    for f in files:
+        if not os.path.exists(f):
+            print(f"ntsm count: input file {f} does not exist", file=sys.stderr)
+            die = True
+    if not files:
+        print("Error: Need input files", file=sys.stderr)
+        die = True
+    if die:
+        print("Try '--help' for more information.", file=sys.stderr)
+        return 1
+
+    t0 = time.monotonic()
+    from ntsm_tpu.count.engine import format_info_summary, run_count
+    from ntsm_tpu.io.countfile import format_counts
+    from ntsm_tpu.io.sites import load_site_table
+
+    if opts.verbose:
+        print(f"Opening {opts.snp}", file=sys.stderr)
+    table = load_site_table(opts.snp, opts.k, allow_dupes=opts.dupes)
+
+    if engine == "golden":
+        from ntsm_tpu.count.golden import count_files
+
+        result = count_files(table, files, cov_thresh=opts.cov_thresh)
+        if result.early_term:
+            print("Reached desired (-m) threshold", file=sys.stderr)
+    else:
+        result = run_count(table, files, opts, use_pallas=(engine == "pallas"))
+
+    mx, sm = result.site_max_sum(table)
+    sys.stdout.write(
+        format_counts(table.site_ids, mx, sm, table.distinct, result.total_kmers, opts.k)
+    )
+
+    summary, warning = format_info_summary(table, result, opts)
+    if opts.summary:
+        with open(opts.summary, "w") as fh:
+            fh.write(summary)
+    if warning:
+        print(warning, file=sys.stderr)
+    print(summary, file=sys.stderr)
+    rss_kb = _rss_kb()
+    print(
+        f"Time: {time.monotonic() - t0:g} s Memory: {rss_kb} kbytes", file=sys.stderr
+    )
+    return 0
+
+
+def _rss_kb() -> int:
+    """VmRSS in kB, like Util::getRSS (src/Util.h:32-49)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return -1

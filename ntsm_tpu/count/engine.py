@@ -1,0 +1,132 @@
+"""Counting engine: host feed pipeline + jitted device steps.
+
+Replaces FingerPrint::computeCounts' thread-per-file OpenMP loop
+(src/FingerPrint.hpp:46-87) with a host reader producing fixed-shape
+batches and a device accumulation loop.  Early termination (-m) is
+evaluated between batches against the same threshold formula
+(FingerPrint.hpp:41-43,476-487); because the reference checks per read and
+processes files in nondeterministic thread order, -m results are
+read-order-dependent there too — we define the order as "batch boundary".
+
+Multi-chip: batches are sharded over a 1-D data mesh; every device keeps a
+private count vector (no atomics, unlike FingerPrint.hpp:93-102) and the
+single merge happens at the end (psum over the mesh) — see
+ntsm_tpu/parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntsm_tpu.count.golden import CountResult, max_counts_threshold
+from ntsm_tpu.count.kernel import count_step, make_table_arrays
+from ntsm_tpu.io.fastx import BatchReader
+from ntsm_tpu.io.sites import SiteTable
+from ntsm_tpu.options import Options
+from ntsm_tpu.utils.formats import cpp_general
+
+
+@dataclass
+class EngineConfig:
+    batch_reads: int = 16384
+    segment_len: int = 256
+    early_term_check_every: int = 4  # batches between host-side -m checks
+
+
+def run_count(
+    table: SiteTable,
+    filenames,
+    opts: Options,
+    config: EngineConfig | None = None,
+    use_pallas: bool = False,
+) -> CountResult:
+    config = config or EngineConfig(
+        batch_reads=opts.batch_reads, segment_len=opts.segment_len
+    )
+    k = table.k
+    n_kmers = table.n_kmers
+    keys, vals = make_table_arrays(table.lookup, n_kmers)
+
+    counts = jnp.zeros(n_kmers + 1, dtype=jnp.int32)
+    total_kmers = jnp.int64(0)
+    total_hits = jnp.int64(0)
+
+    step = count_step
+    if use_pallas:
+        from ntsm_tpu.count.pallas_kernel import pallas_count_step as step
+
+    max_counts = max_counts_threshold(n_kmers, opts.cov_thresh)
+    total_bases = 0
+    total_reads = 0
+    early = False
+
+    reader = BatchReader(
+        filenames, k=k, seglen=config.segment_len, batch=config.batch_reads
+    )
+    n_batches = 0
+    for batch in reader:
+        codes = jnp.asarray(batch.codes)
+        lengths = jnp.asarray(batch.lengths)
+        counts, total_kmers, total_hits = step(
+            codes, lengths, keys, vals, counts, total_kmers, total_hits,
+            k=k, n_kmers=n_kmers,
+        )
+        total_bases += batch.n_bases
+        total_reads += batch.n_reads
+        n_batches += 1
+        if max_counts != 0 and not math.isinf(max_counts):
+            if n_batches % config.early_term_check_every == 0:
+                if int(total_hits) > max_counts:
+                    early = True
+                    break
+    if not early and max_counts != 0 and not math.isinf(max_counts):
+        early = int(total_hits) > max_counts
+    if early:
+        # message parity: FingerPrint.hpp:84-86
+        import sys
+
+        print("Reached desired (-m) threshold", file=sys.stderr)
+
+    counts_np = np.asarray(counts)[:-1].astype(np.int64)
+    return CountResult(
+        counts=counts_np,
+        total_kmers=int(total_kmers),
+        total_hits=int(total_hits),
+        total_bases=total_bases,
+        total_reads=total_reads,
+        early_term=early,
+    )
+
+
+def format_info_summary(
+    table: SiteTable, result: CountResult, opts: Options
+) -> tuple[str, str | None]:
+    """FingerPrint::printInfoSummary text (src/FingerPrint.hpp:313-349).
+
+    Returns (summary_text, warning_or_None).
+    """
+    mx, _ = result.site_max_sum(table)
+    site_coverage = int(((mx[:, 0] > 0) | (mx[:, 1] > 0)).sum())
+    out = (
+        f"Total Bases Considered: {result.total_bases}\n"
+        f"Total k-mers Considered: {result.total_kmers}\n"
+        f"Total k-mers Recorded: {result.total_hits}\n"
+        f"Distinct k-mers in initial set: {table.n_kmers}\n"
+        f"Total Sites: {table.n_sites}\n"
+        f"Sites Covered by at least one k-mer: {site_coverage}\n"
+    )
+    warning = None
+    n_sites = table.n_sites
+    cov_per = site_coverage / n_sites if n_sites else 0.0
+    if cov_per < opts.site_cov_threshold:
+        warning = (
+            f"Warning: site coverage is : {cpp_general(cov_per, 6)}"
+            "(<75%). Data may be sorted or sparse along the genome. "
+            "Any PCA projection may be inaccurate."
+        )
+    return out, warning

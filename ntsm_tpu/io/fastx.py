@@ -1,0 +1,167 @@
+"""FASTA/FASTQ reading.
+
+Replaces the reference's kseq streaming parser (vendor/kseq.h:178-219) with
+two host-side paths:
+
+* :func:`read_fastx` — a simple record generator with kseq semantics
+  (name = header token up to first whitespace, multi-line FASTA bodies
+  concatenated, transparent gzip).  Used for site FASTAs and as the golden
+  model's read source.
+* :class:`BatchReader` — the production feed for the device pipeline:
+  reads files in large chunks, parses records with vectorized numpy, 2-bit
+  encodes, splits long reads into overlapping segments (k-1 halo, so the
+  k-mer multiset is unchanged) and yields fixed-shape [batch, seglen] code
+  arrays ready for jax.device_put.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from ntsm_tpu.core.encode import NT4_TABLE
+
+
+def _open(path: str):
+    fh = open(path, "rb")
+    magic = fh.read(2)
+    fh.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(fh, "rb")
+    return fh
+
+
+@dataclass
+class FastxRecord:
+    name: str
+    seq: bytes
+    qual: bytes | None = None
+
+
+def read_fastx(path: str) -> Iterator[FastxRecord]:
+    """Yield records from a FASTA or FASTQ file (optionally gzipped)."""
+    with _open(path) as fh:
+        buffered = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
+        first = buffered.peek(1)[:1]
+        if first == b">":
+            yield from _read_fasta(buffered)
+        elif first == b"@":
+            yield from _read_fastq(buffered)
+        elif first == b"":
+            return
+        else:
+            raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")
+
+
+def _header_name(line: bytes) -> str:
+    return line[1:].split(None, 1)[0].decode("ascii") if len(line) > 1 else ""
+
+
+def _read_fasta(fh) -> Iterator[FastxRecord]:
+    name = None
+    chunks: list[bytes] = []
+    for line in fh:
+        line = line.rstrip(b"\r\n")
+        if line.startswith(b">"):
+            if name is not None:
+                yield FastxRecord(name, b"".join(chunks))
+            name = _header_name(line)
+            chunks = []
+        elif line:
+            chunks.append(line)
+    if name is not None:
+        yield FastxRecord(name, b"".join(chunks))
+
+
+def _read_fastq(fh) -> Iterator[FastxRecord]:
+    while True:
+        hdr = fh.readline()
+        if not hdr:
+            return
+        hdr = hdr.rstrip(b"\r\n")
+        if not hdr:
+            continue
+        seq = fh.readline().rstrip(b"\r\n")
+        fh.readline()  # '+'
+        qual = fh.readline().rstrip(b"\r\n")
+        yield FastxRecord(_header_name(hdr), seq, qual)
+
+
+# ---------------------------------------------------------------------------
+# Batched production reader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ReadBatch:
+    """A fixed-shape batch of encoded read segments for the device kernel."""
+
+    codes: np.ndarray  # [batch, seglen] uint8, 0..3 valid, 4 invalid/pad
+    lengths: np.ndarray  # [batch] int32 — segment length (incl. halo)
+    n_reads: int  # whole reads finishing in this batch
+    n_bases: int  # raw bases of those reads (reference counts every byte
+    #               of the read including Ns: src/FingerPrint.hpp:102)
+
+
+class BatchReader:
+    """Stream one or more FASTA/FASTQ files as fixed-shape code batches.
+
+    Long reads are split into segments of ``seglen`` with a k-1 overlap, so
+    every k-mer appears in exactly one segment — "sequence parallelism" for
+    arbitrary-length reads without any cross-segment state.
+    """
+
+    def __init__(self, paths: Sequence[str], k: int, seglen: int = 256, batch: int = 16384):
+        if seglen <= k:
+            raise ValueError("seglen must exceed k")
+        self.paths = list(paths)
+        self.k = k
+        self.seglen = seglen
+        self.batch = batch
+
+    def __iter__(self) -> Iterator[ReadBatch]:
+        k, L, B = self.k, self.seglen, self.batch
+        stride = L - (k - 1)
+        codes = np.full((B, L), 4, dtype=np.uint8)
+        lengths = np.zeros(B, dtype=np.int32)
+        row = 0
+        n_reads = 0
+        n_bases = 0
+
+        def flush():
+            nonlocal row, n_reads, n_bases
+            out = ReadBatch(codes.copy(), lengths.copy(), n_reads, n_bases)
+            codes.fill(4)
+            lengths.fill(0)
+            row = 0
+            n_reads = 0
+            n_bases = 0
+            return out
+
+        for path in self.paths:
+            for rec in read_fastx(path):
+                enc = NT4_TABLE[np.frombuffer(rec.seq, dtype=np.uint8)]
+                n = enc.shape[0]
+                n_reads += 1
+                n_bases += n
+                start = 0
+                while True:
+                    seg = enc[start : start + L]
+                    m = seg.shape[0]
+                    if m >= k or start == 0:
+                        codes[row, :m] = seg
+                        if m < L:
+                            codes[row, m:] = 4
+                        lengths[row] = m
+                        row += 1
+                        if row == B:
+                            yield flush()
+                    if start + L >= n:
+                        break
+                    start += stride
+        if row:
+            yield flush()

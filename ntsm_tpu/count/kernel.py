@@ -49,9 +49,8 @@ def window_hashes(codes, lengths, k: int, mask):
     return h, valid
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_kmers"), donate_argnums=(4, 5, 6))
-def count_step(codes, lengths, keys, vals, counts, total_kmers, total_hits, *, k, n_kmers):
-    """One counting step.
+def count_step_impl(codes, lengths, keys, vals, counts, total_kmers, total_hits, *, k, n_kmers):
+    """One counting step (traceable body, see `count_step` for the jitted form).
 
     codes:   [B, L] uint8 (0..3 bases, >=4 invalid/pad)
     lengths: [B] int32
@@ -75,6 +74,11 @@ def count_step(codes, lengths, keys, vals, counts, total_kmers, total_hits, *, k
     total_kmers = total_kmers + valid.sum(dtype=jnp.int64)
     total_hits = total_hits + found.sum(dtype=jnp.int64)
     return counts, total_kmers, total_hits
+
+
+count_step = functools.partial(jax.jit, static_argnames=("k", "n_kmers"), donate_argnums=(4, 5, 6))(
+    count_step_impl
+)
 
 
 def make_table_arrays(lookup, n_kmers: int):

@@ -131,7 +131,73 @@ def main(ref_dir: str):
          count_files[0], count_files[1]],
         stdout=FIXTURES / "eval_merge_stdout.txt",
     )
+
+    make_vcf_world(rng, ref / "ntsmVCF")
     print("fixtures written to", FIXTURES, file=sys.stderr)
+
+
+def make_vcf_world(rng, ntsm_vcf):
+    """Genome + multi-sample VCF + matching site FASTA; reference ntsmVCF -p
+    output as the parity fixture for the PCA matrix/center files.
+
+    NB: shipped ntsm v1.2.1 ntsmVCF segfaults on ANY data row —
+    MultiCount::m_matCounts is sized in the constructor while the
+    referenced sample-ID vector is still empty (src/MultiCount.hpp:278 via
+    src/VCFConvert.hpp:42), so every insert is out of bounds (verified with
+    ASan: SEGV at MultiCount.hpp:55).  The oracle build in /tmp is patched
+    to size the matrix after the #CHROM header is parsed; these fixtures
+    therefore capture the reference's *intended* output."""
+    from tests.synth import random_genome
+
+    w, k = 31, 19
+    glen = 2000
+    genome = bytearray(random_genome(rng, glen))
+    n_sites = 12
+    positions = [120 + 60 * i for i in range(n_sites)]  # 1-based SNP pos
+    at, cg = b"AT", b"CG"
+    rows = []
+    fa_entries = []
+    n_samples = 6
+    sample_ids = [f"S{i}" for i in range(n_samples)]
+    for s_i, pos in enumerate(positions):
+        ref_base = genome[pos - 1]
+        if chr(ref_base) in "AT":
+            alt = chr(cg[rng.integers(0, 2)])
+            at_is_ref = True
+        else:
+            alt = chr(at[rng.integers(0, 2)])
+            at_is_ref = False
+        off = pos - w // 2 - 1
+        ref_win = bytes(genome[off : off + w])
+        var_win = ref_win[: w // 2] + alt.encode() + ref_win[w // 2 + 1 :]
+        at_win, cg_win = (ref_win, var_win) if at_is_ref else (var_win, ref_win)
+        name = f"rsv{s_i}"
+        fa_entries.append(f">{name} ref\n{at_win.decode()}\n>{name} var\n{cg_win.decode()}\n")
+        if s_i == 5:
+            # non-SNP row (multi-base ALT): skipped by the converter, so
+            # this site ends all-missing -> exercises the sticky
+            # setprecision(19) path of printNormMatrix
+            rows.append(
+                f"chr1\t{pos}\t{name}\t{chr(ref_base)}\tAC\t.\t.\t.\tGT\t"
+                + "\t".join(["0|0"] * n_samples)
+            )
+            continue
+        gts = []
+        for _ in range(n_samples):
+            gts.append(rng.choice(["0|0", "0|1", "1|0", "1|1", "./."]))
+        rows.append(
+            f"chr1\t{pos}\t{name}\t{chr(ref_base)}\t{alt}\t.\t.\t.\tGT\t" + "\t".join(gts)
+        )
+    (FIXTURES / "vcf_genome.fa").write_text(">chr1\n" + bytes(genome).decode() + "\n")
+    (FIXTURES / "vcf_sites.fa").write_text("".join(fa_entries))
+    vcf = "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+    vcf += "\t".join(sample_ids) + "\n" + "\n".join(rows) + "\n"
+    (FIXTURES / "multi.vcf").write_text(vcf)
+    r = sh(
+        [ntsm_vcf, "-t", "1", "-k", str(k), "-w", str(w), "-p", "vcfout",
+         "-s", "vcf_sites.fa", "-r", "vcf_genome.fa", "multi.vcf"],
+    )
+    (FIXTURES / "vcf_stderr.txt").write_bytes(r.stderr)
 
 
 if __name__ == "__main__":

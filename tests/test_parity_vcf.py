@@ -1,0 +1,66 @@
+"""Byte-parity of `ntsm vcf -p` matrix/center output against the (patched,
+see tests/make_fixtures.py) reference ntsmVCF fixture output."""
+
+import pathlib
+
+import pytest
+
+from ntsm_tpu.io.sites import load_site_table
+from ntsm_tpu.options import Options
+from ntsm_tpu.vcf.convert import VCFConverter, _format_longdouble_g
+
+FIX = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def converted(tmp_path_factory):
+    opts = Options(
+        snp=str(FIX / "vcf_sites.fa"), ref=str(FIX / "vcf_genome.fa"), k=19, window=31
+    )
+    table = load_site_table(opts.snp, opts.k, allow_dupes=False)
+    conv = VCFConverter(table, opts)
+    conv.count(str(FIX / "multi.vcf"))
+    out = tmp_path_factory.mktemp("vcf")
+    conv.output_matrix(str(out / "vcfout"))
+    return conv, out
+
+
+def test_matrix_byte_parity(converted):
+    _, out = converted
+    got = (out / "vcfout_matrix.tsv").read_text()
+    expected = (FIX / "vcfout_matrix.tsv").read_text()
+    assert got == expected
+
+
+def test_center_byte_parity(converted):
+    _, out = converted
+    got = (out / "vcfout_center.txt").read_text()
+    expected = (FIX / "vcfout_center.txt").read_text()
+    assert got == expected
+
+
+def test_output_counts_roundtrip(converted, tmp_path):
+    """Count files written by --output-counts can be read back by eval and
+    reflect genotype-consistent values (multi for het, 2*multi for hom)."""
+    conv, _ = converted
+    conv.output_counts(str(tmp_path))
+    import numpy as np
+
+    from ntsm_tpu.io.countfile import load_count_files
+
+    paths = [str(tmp_path / f"{sid}.counts.txt") for sid in conv.sample_ids]
+    locus_ids, distinct, files = load_count_files(paths)
+    assert locus_ids == conv.table.site_ids
+    mc = np.stack([f.max_counts for f in files])
+    assert set(np.unique(mc)) <= {0, 20, 40}
+
+
+def test_longdouble_format():
+    import numpy as np
+
+    assert _format_longdouble_g(np.longdouble(0)) == "0"
+    assert (
+        _format_longdouble_g(np.longdouble(1) / np.longdouble(6))
+        == "0.1666666666666666667"
+    )
+    assert _format_longdouble_g(np.longdouble("0.5")) == "0.5"

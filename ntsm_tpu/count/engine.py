@@ -38,7 +38,111 @@ class EngineConfig:
     early_term_check_every: int = 4  # batches between host-side -m checks
 
 
+def run_count_v2(
+    table: SiteTable,
+    filenames,
+    opts: Options,
+    config: EngineConfig | None = None,
+) -> CountResult:
+    """v2 pipeline: packed upload, 512B-row gather, top_k hit extraction,
+    host-side count accumulation (see kernel_v2.py for the measurements
+    that shaped this)."""
+    from ntsm_tpu.count.kernel_v2 import (
+        SLOTS_V2,
+        count_step_v2,
+        hits_to_kmer_counts,
+        pack_batch,
+    )
+    from ntsm_tpu.io.sites import build_lookup
+
+    config = config or EngineConfig(
+        batch_reads=opts.batch_reads, segment_len=opts.segment_len
+    )
+    k = table.k
+    n_kmers = table.n_kmers
+    lookup = build_lookup(table.kmer_hashes, slots=SLOTS_V2)
+    keys = jnp.asarray(lookup.keys)
+
+    sorted_hashes = np.sort(table.kmer_hashes)
+    sort_order = np.argsort(table.kmer_hashes, kind="stable")
+
+    counts = np.zeros(n_kmers, dtype=np.int64)
+    total_kmers = 0
+    total_hits = 0
+    total_bases = 0
+    total_reads = 0
+    max_counts = max_counts_threshold(n_kmers, opts.cov_thresh)
+    early = False
+
+    reader = BatchReader(
+        filenames, k=k, seglen=config.segment_len, batch=config.batch_reads
+    )
+    L = config.segment_len
+    pending = None  # (device outputs, host batch) for simple double buffering
+    it = iter(reader)
+
+    def drain(entry):
+        nonlocal total_kmers, total_hits, total_bases, total_reads
+        (top, n_found, n_valid), batch = entry
+        nf = int(n_found)
+        total_kmers += int(n_valid)
+        total_bases += batch.n_bases
+        total_reads += batch.n_reads
+        if nf > int(top.shape[0]):
+            # adversarially dense batch: exact host recount
+            from ntsm_tpu.count.golden import count_codes_batch
+
+            hit_idx, _ = count_codes_batch(batch.codes, k, sorted_hashes, sort_order)
+            np.add.at(counts, hit_idx, 1)
+            total_hits += hit_idx.shape[0]
+        else:
+            hits_np = np.asarray(top[: max(nf, 0)])
+            hits_to_kmer_counts(hits_np, lookup, n_kmers, counts)
+            total_hits += nf
+
+    for batch in it:
+        packed, vbits = pack_batch(batch.codes)
+        out = count_step_v2(jnp.asarray(packed), jnp.asarray(vbits), keys, k=k, L=L)
+        if pending is not None:
+            drain(pending)
+        pending = (out, batch)
+        if max_counts != 0 and not math.isinf(max_counts):
+            if total_hits > max_counts:
+                early = True
+                break
+    if pending is not None and not early:
+        drain(pending)
+        if max_counts != 0 and not math.isinf(max_counts):
+            early = total_hits > max_counts
+    if early:
+        import sys
+
+        print("Reached desired (-m) threshold", file=sys.stderr)
+
+    return CountResult(
+        counts=counts,
+        total_kmers=total_kmers,
+        total_hits=total_hits,
+        total_bases=total_bases,
+        total_reads=total_reads,
+        early_term=early,
+    )
+
+
 def run_count(
+    table: SiteTable,
+    filenames,
+    opts: Options,
+    config: EngineConfig | None = None,
+    use_pallas: bool = False,
+    version: int = 2,
+) -> CountResult:
+    if version == 2 and not use_pallas:
+        return run_count_v2(table, filenames, opts, config)
+    return run_count_v1(table, filenames, opts, config, use_pallas)
+
+
+def run_count_v1(
     table: SiteTable,
     filenames,
     opts: Options,

@@ -48,6 +48,31 @@ def max_counts_threshold(n_kmers: int, cov_thresh: float) -> float:
     return (n_kmers * cov_thresh) / 2.0
 
 
+def count_codes_batch(
+    codes: np.ndarray, k: int, sorted_hashes: np.ndarray, order: np.ndarray
+):
+    """Exact host recount of one [B, L] code batch (rows padded with 4s).
+
+    Used as the overflow fallback of the v2 device engine and in tests.
+    Returns (hit_kmer_indices, n_valid_kmers).
+    """
+    from ntsm_tpu.core.hash import hash64_np, kmer_mask
+    from ntsm_tpu.core.kmers import window_encodings
+
+    B, L = codes.shape
+    arr = np.full((B, L + 1), 4, dtype=np.uint8)
+    arr[:, :L] = codes
+    flat = arr.ravel()
+    fw, rv, valid = window_encodings(flat, k)
+    h = hash64_np(np.minimum(fw, rv), kmer_mask(k))[valid]
+    n = sorted_hashes.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), int(h.shape[0])
+    pos = np.minimum(np.searchsorted(sorted_hashes, h), n - 1)
+    hit = sorted_hashes[pos] == h
+    return order[pos[hit]], int(h.shape[0])
+
+
 def count_files(table: SiteTable, filenames, cov_thresh: float = math.inf) -> CountResult:
     sorted_hashes = np.sort(table.kmer_hashes)
     order = np.argsort(table.kmer_hashes, kind="stable")

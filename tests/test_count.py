@@ -154,3 +154,24 @@ def test_dupes_warning_and_removal(rng, tmp_path, capsys):
     # with -d the first occurrence keeps the k-mers
     assert table_d.distinct[0, 0] > 0
     assert table_d.distinct[1, 0] == 0
+
+
+def test_v2_topk_overflow_fallback(rng, tmp_path, monkeypatch):
+    """When a batch has more hits than the top_k capacity, the engine must
+    fall back to the exact host recount."""
+    import ntsm_tpu.count.kernel_v2 as k2
+
+    sites_path = str(tmp_path / "sites.fa")
+    _, sites = make_site_fasta(rng, n_sites=6, path=sites_path)
+    fq = str(tmp_path / "dense.fq")
+    # every read is a site window -> nearly every k-mer hits
+    make_reads_fastq(rng, sites, coverage=20, read_len=64, path=fq, n_noise_reads=0)
+    table = load_site_table(sites_path, k=19, allow_dupes=False)
+    golden = count_files(table, [fq])
+
+    monkeypatch.setattr(k2, "TOPK", 16)
+    # use a distinct segment length so the jit cache retraces with TOPK=16
+    res = run_count(table, [fq], Options(segment_len=72, batch_reads=128))
+    np.testing.assert_array_equal(res.counts, golden.counts)
+    assert res.total_hits == golden.total_hits
+    assert res.total_kmers == golden.total_kmers

@@ -1,10 +1,11 @@
 """Headline benchmark: k-mer counting throughput on one TPU chip.
 
-Measures the device counting pipeline (window hashing + site-table lookup +
-count accumulation) on a human-scale synthetic workload: a 96287-site /
-~2.5M-k-mer fingerprint table (the shape of data/human_sites_n10.fa) and
-150bp-read batches, exactly the hot path of `ntsm count`
-(reference: src/FingerPrint.hpp:89-103).
+Measures the v3 device counting pipeline (packed 2-bit upload format,
+window hashing, fingerprint-filtered site-table probe, exact verification,
+on-device count accumulation) on a human-scale synthetic workload: a
+96287-site / ~2.5M-k-mer fingerprint table (the shape of
+data/human_sites_n10.fa) and 256b read segments — exactly the hot path of
+`ntsm count` (reference: src/FingerPrint.hpp:89-103).
 
 Prints ONE JSON line:
   {"metric": "count_bases_per_s", "value": ..., "unit": "base/s",
@@ -16,9 +17,10 @@ host (single thread, same site-table scale, 100 Mbp synthetic FASTQ):
 The reference parallelizes only across input FILES (one thread per file,
 FingerPrint.hpp:47), so per-core throughput is its unit of scaling.
 
-Timing methodology: the chained-step loop carries a data dependency through
-the count state and ends with a value fetch — block_until_ready alone
-under-reports on the axon tunnel platform.
+Timing methodology (the axon tunnel's RTT is ~33 ms and block_until_ready
+under-reports): the loop mirrors the production engine — counts carried on
+device batch to batch, per-batch [3]-vector diagnostics drained with one
+stacked fetch every DRAIN batches, and a final value fetch.
 """
 
 from __future__ import annotations
@@ -37,8 +39,11 @@ def main() -> None:
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
-    from ntsm_tpu.count.kernel_v2 import SLOTS_V2, count_step_v2, pack_batch
-    from ntsm_tpu.io.sites import build_lookup
+    from ntsm_tpu.count.kernel_v3 import (
+        build_table_v3,
+        count_step_v3,
+        pack_batch,
+    )
 
     rng = np.random.default_rng(7)
     k = 19
@@ -48,30 +53,40 @@ def main() -> None:
     hashes = np.unique(
         rng.integers(0, mask38, size=n_sites * kmers_per_site, dtype=np.uint64)
     )
-    lookup = build_lookup(hashes, slots=SLOTS_V2)
-    keys = jnp.asarray(lookup.keys)
+    tab = build_table_v3(hashes)
+    n_kmers = int(hashes.shape[0])
+    kw = dict(
+        k=k, L=256, n_buckets=tab.n_buckets, slots=tab.slots, bbits=tab.bbits
+    )
 
     B, L = 16384, 256  # ~4.2 Mbase per step (150-300bp reads segment to 256)
     codes_np = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
     packed_np, vbits_np = pack_batch(codes_np)
     packed = jnp.asarray(packed_np)
     vbits = jnp.asarray(vbits_np)
+    counts = jnp.zeros(n_kmers + 1, dtype=jnp.int32)
 
-    # compile + warmup
-    top, nf, nv = count_step_v2(packed, vbits, keys, k=k, L=L)
-    _ = int(nf)
+    # compile + warmup (including the drain/fetch programs)
+    counts_w, diag = count_step_v3(
+        packed, vbits, tab.fp, tab.keys, tab.vals, counts, **kw
+    )
+    _ = np.asarray(jnp.stack([diag] * 8))
+    _ = int(counts_w[0])
 
-    # steady-state timing with a 2-deep pipeline (matches the engine's
-    # double buffering) and per-step value syncs for honest accounting
-    iters = 12
+    iters, drain = 24, 8
+    pending = []
     t0 = time.perf_counter()
-    pending = None
-    for _ in range(iters):
-        out = count_step_v2(packed, vbits, keys, k=k, L=L)
-        if pending is not None:
-            _ = int(pending[1])
-        pending = out
-    _ = int(pending[1])
+    for i in range(iters):
+        counts, diag = count_step_v3(
+            packed, vbits, tab.fp, tab.keys, tab.vals, counts, **kw
+        )
+        pending.append(diag)
+        if len(pending) >= drain:
+            _ = np.asarray(jnp.stack(pending))  # one tunnel RTT per window
+            pending.clear()
+    if pending:
+        _ = np.asarray(jnp.stack(pending))
+    _ = int(counts[0])
     dt = time.perf_counter() - t0
     bases_per_s = iters * B * L / dt
 

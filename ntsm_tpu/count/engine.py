@@ -36,6 +36,129 @@ class EngineConfig:
     batch_reads: int = 16384
     segment_len: int = 256
     early_term_check_every: int = 4  # batches between host-side -m checks
+    cand_k: int | None = None  # v3 candidate width override (tests)
+
+
+def run_count_v3(
+    table: SiteTable,
+    filenames,
+    opts: Options,
+    config: EngineConfig | None = None,
+) -> CountResult:
+    """v3 pipeline: fingerprint-filtered probe with device-resident counts.
+
+    The count vector lives on device for the whole run; the host fetches
+    only a [3]-vector of diagnostics per batch, drained one RTT per
+    `early_term_check_every` batches (the axon tunnel RTT is ~33 ms, which
+    dominated v2's per-batch sync).  See kernel_v3.py for the measured
+    stage costs that shaped this.
+    """
+    from collections import deque
+
+    from ntsm_tpu.count.kernel_v3 import (
+        build_table_v3,
+        count_step_v3,
+        pack_batch,
+    )
+
+    config = config or EngineConfig(
+        batch_reads=opts.batch_reads, segment_len=opts.segment_len
+    )
+    k = table.k
+    n_kmers = table.n_kmers
+    tab = build_table_v3(table.kmer_hashes)
+    kw = dict(
+        k=k,
+        L=config.segment_len,
+        n_buckets=tab.n_buckets,
+        slots=tab.slots,
+        bbits=tab.bbits,
+    )
+    if config.cand_k is not None:
+        kw["cand_k"] = config.cand_k
+
+    sorted_hashes = np.sort(table.kmer_hashes)
+    sort_order = np.argsort(table.kmer_hashes, kind="stable")
+
+    counts = jnp.zeros(n_kmers + 1, dtype=jnp.int32)
+    host_counts = np.zeros(n_kmers, dtype=np.int64)  # overflow recounts
+    total_kmers = 0
+    total_hits = 0
+    total_bases = 0
+    total_reads = 0
+    max_counts = max_counts_threshold(n_kmers, opts.cov_thresh)
+    check_term = max_counts != 0 and not math.isinf(max_counts)
+    early = False
+
+    from ntsm_tpu.count.golden import count_codes_batch
+    from ntsm_tpu.count.kernel_v3 import CAND_K
+
+    eff_cand_k = config.cand_k if config.cand_k is not None else CAND_K
+
+    reader = BatchReader(
+        filenames, k=k, seglen=config.segment_len, batch=config.batch_reads
+    )
+    window = max(2, config.early_term_check_every)  # batches per diag drain
+    pending: deque = deque()  # (diag device array, host codes for fallback)
+
+    def drain(n: int):
+        """Process the oldest n pending batches: one stacked diag fetch
+        (one tunnel RTT), then per-batch accounting; a batch whose
+        candidate count overflowed CAND_K contributed nothing on device
+        (the kernel zeroes its scatter) and is recounted exactly here."""
+        nonlocal total_kmers, total_hits
+        n = min(n, len(pending))
+        if n == 0:
+            return
+        items = [pending.popleft() for _ in range(n)]
+        diags = np.asarray(jnp.stack([d for d, _ in items]))
+        for (_, codes), dg in zip(items, diags):
+            n_valid, n_cand, n_hits = (int(x) for x in dg)
+            total_kmers += n_valid
+            if n_cand > eff_cand_k:
+                hit_idx, _ = count_codes_batch(codes, k, sorted_hashes, sort_order)
+                np.add.at(host_counts, hit_idx, 1)
+                total_hits += int(hit_idx.shape[0])
+            else:
+                total_hits += n_hits
+
+    for batch in reader:
+        packed, vbits = pack_batch(batch.codes)
+        counts, diag = count_step_v3(
+            jnp.asarray(packed),
+            jnp.asarray(vbits),
+            tab.fp,
+            tab.keys,
+            tab.vals,
+            counts,
+            **kw,
+        )
+        total_bases += batch.n_bases
+        total_reads += batch.n_reads
+        pending.append((diag, batch.codes))
+        if len(pending) >= 2 * window:
+            # drain the older half; the newer half keeps the device busy
+            drain(window)
+            if check_term and total_hits > max_counts:
+                early = True
+                break
+    drain(len(pending))
+    if check_term and not early:
+        early = total_hits > max_counts
+    if early:
+        import sys
+
+        print("Reached desired (-m) threshold", file=sys.stderr)
+
+    counts_np = np.asarray(counts)[:n_kmers].astype(np.int64) + host_counts
+    return CountResult(
+        counts=counts_np,
+        total_kmers=total_kmers,
+        total_hits=total_hits,
+        total_bases=total_bases,
+        total_reads=total_reads,
+        early_term=early,
+    )
 
 
 def run_count_v2(
@@ -135,11 +258,15 @@ def run_count(
     opts: Options,
     config: EngineConfig | None = None,
     use_pallas: bool = False,
-    version: int = 2,
+    version: int = 3,
 ) -> CountResult:
-    if version == 2 and not use_pallas:
+    if use_pallas:
+        return run_count_v1(table, filenames, opts, config, use_pallas=True)
+    if version == 3:
+        return run_count_v3(table, filenames, opts, config)
+    if version == 2:
         return run_count_v2(table, filenames, opts, config)
-    return run_count_v1(table, filenames, opts, config, use_pallas)
+    return run_count_v1(table, filenames, opts, config)
 
 
 def run_count_v1(

@@ -1,0 +1,62 @@
+"""Engine v3 (fingerprint filter + device-resident counts): parity with the
+golden model across engine versions, CAND_K overflow fallback, early term."""
+
+import numpy as np
+
+from ntsm_tpu.count.engine import EngineConfig, run_count, run_count_v3
+from ntsm_tpu.count.golden import count_files
+from ntsm_tpu.io.sites import load_site_table
+from ntsm_tpu.options import Options
+from tests.synth import make_reads_fastq, make_site_fasta
+
+
+def _world(rng, tmp_path, n_sites=24, coverage=8):
+    sites_path = str(tmp_path / "sites.fa")
+    _, sites = make_site_fasta(rng, n_sites=n_sites, path=sites_path)
+    fq = str(tmp_path / "reads.fq")
+    make_reads_fastq(rng, sites, coverage=coverage, genotype="het", path=fq)
+    table = load_site_table(sites_path, k=19, allow_dupes=False)
+    return table, fq
+
+
+def test_v3_matches_golden_and_v2(rng, tmp_path):
+    table, fq = _world(rng, tmp_path)
+    golden = count_files(table, [fq])
+    for version in (1, 2, 3):
+        res = run_count(table, [fq], Options(), version=version)
+        np.testing.assert_array_equal(res.counts, golden.counts)
+        assert res.total_kmers == golden.total_kmers
+        assert res.total_hits == golden.total_hits
+
+
+def test_v3_cand_overflow_falls_back_to_exact(rng, tmp_path):
+    """With a tiny candidate width every batch overflows; the engine must
+    recount those batches on the host and still match golden exactly."""
+    table, fq = _world(rng, tmp_path, coverage=6)
+    golden = count_files(table, [fq])
+    cfg = EngineConfig(batch_reads=64, segment_len=128, cand_k=8)
+    res = run_count_v3(table, [fq], Options(), cfg)
+    np.testing.assert_array_equal(res.counts, golden.counts)
+    assert res.total_hits == golden.total_hits
+    assert res.total_kmers == golden.total_kmers
+
+
+def test_v3_early_termination(rng, tmp_path):
+    table, fq = _world(rng, tmp_path, coverage=40)
+    # -m 1: threshold = n_kmers * 1 / 2 hits
+    res = run_count_v3(table, [fq], Options(cov_thresh=1.0))
+    assert res.early_term
+    assert res.total_hits > table.n_kmers * 1.0 / 2
+
+
+def test_v3_segmented_long_reads(rng, tmp_path):
+    sites_path = str(tmp_path / "sites.fa")
+    _, sites = make_site_fasta(rng, n_sites=8, path=sites_path)
+    fq = str(tmp_path / "long.fq")
+    make_reads_fastq(rng, sites, coverage=3, read_len=1500, path=fq)
+    table = load_site_table(sites_path, k=19, allow_dupes=False)
+    golden = count_files(table, [fq])
+    cfg = EngineConfig(batch_reads=32, segment_len=128)
+    res = run_count_v3(table, [fq], Options(), cfg)
+    np.testing.assert_array_equal(res.counts, golden.counts)
+    assert res.total_kmers == golden.total_kmers

@@ -49,18 +49,24 @@ SLOTS_V3 = 8
 # ~9K fingerprint FPs (load 0.6 x 2^-8 per window) + ~3-13K true hits;
 # 32K gives ~2.5x headroom and costs ~2.4 ms less than 64K per step.
 CAND_K = 32768
-FP_MULT = 0x9E3779B97F4A7C15  # Fibonacci mixer for the 8-bit fingerprint
 
 
 def fingerprint_np(rem: np.ndarray) -> np.ndarray:
-    """8-bit nonzero fingerprint of the hash remainder (host build side)."""
-    fp = ((rem * np.uint64(FP_MULT)) >> np.uint64(56)).astype(np.uint32)
+    """8-bit nonzero fingerprint of the hash remainder (host build side).
+
+    hash64 is a bijective mixer, so the low remainder bits (disjoint from
+    the bucket bits) are already decorrelated — the fingerprint is simply
+    the low byte, clamped away from the 0 = empty-slot sentinel.
+    Multiply-free on purpose: the Pallas kernel computes the same value
+    with 32-bit pair shifts (Mosaic has no 64-bit vector multiply).
+    """
+    fp = (rem & np.uint64(0xFF)).astype(np.uint8)
     return np.maximum(fp, 1).astype(np.uint8)
 
 
 def fingerprint_jnp(rem):
-    fp = ((rem * jnp.uint64(FP_MULT)) >> jnp.uint64(56)).astype(jnp.uint32)
-    return jnp.maximum(fp, 1).astype(jnp.uint8)
+    fp = (rem & jnp.uint64(0xFF)).astype(jnp.uint8)
+    return jnp.maximum(fp, jnp.uint8(1))
 
 
 class TableV3:
@@ -88,31 +94,22 @@ def build_table_v3(hashes: np.ndarray) -> TableV3:
     return TableV3(build_lookup(hashes, slots=SLOTS_V3))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "L", "n_buckets", "slots", "bbits", "cand_k")
-)
-def count_step_v3(
-    packed,
-    vbits,
+def probe_and_count(
+    h,
+    valid,
     fp_t,
     keys_t,
     vals_t,
     counts,
     *,
-    k: int,
-    L: int,
     n_buckets: int,
     slots: int,
     bbits: int,
     cand_k: int = CAND_K,
 ):
-    """One fused counting step, counts stay on device.
-
-    Returns (counts', diag) where diag = [n_valid, n_cand, n_hits] i64;
-    if n_cand > cand_k the batch contributed NOTHING to counts and must be
-    recounted on the host.
-    """
-    h, valid = window_hashes_packed(packed, vbits, k, L)
+    """Shared probe stage: fingerprint filter -> top_k compaction ->
+    exact verify -> device scatter.  h/valid are [B, W] canonical window
+    hashes + validity from any hash stage (XLA packed or Pallas)."""
     bucket = (h & jnp.uint64(n_buckets - 1)).astype(jnp.int32)
     rem = h >> jnp.uint64(bbits)
     q = fingerprint_jnp(rem)
@@ -154,3 +151,42 @@ def count_step_v3(
     n_hits = jnp.where(ok, hit.sum(dtype=jnp.int64), jnp.int64(0))
     diag = jnp.stack([n_valid, n_cand, n_hits])
     return counts, diag
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "L", "n_buckets", "slots", "bbits", "cand_k")
+)
+def count_step_v3(
+    packed,
+    vbits,
+    fp_t,
+    keys_t,
+    vals_t,
+    counts,
+    *,
+    k: int,
+    L: int,
+    n_buckets: int,
+    slots: int,
+    bbits: int,
+    cand_k: int = CAND_K,
+):
+    """One fused counting step, counts stay on device.
+
+    Returns (counts', diag) where diag = [n_valid, n_cand, n_hits] i64;
+    if n_cand > cand_k the batch contributed NOTHING to counts and must be
+    recounted on the host.
+    """
+    h, valid = window_hashes_packed(packed, vbits, k, L)
+    return probe_and_count(
+        h,
+        valid,
+        fp_t,
+        keys_t,
+        vals_t,
+        counts,
+        n_buckets=n_buckets,
+        slots=slots,
+        bbits=bbits,
+        cand_k=cand_k,
+    )

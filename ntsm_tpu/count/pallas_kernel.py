@@ -1,0 +1,220 @@
+"""Pallas TPU kernel for the window-hash stage of the counting engine.
+
+Fuses, in one VMEM-resident pass over a [TB, L] tile of 2-bit read codes:
+
+  * the k rolling-window 2-bit encodings (forward and reverse-complement)
+  * the canonical min(fw, rv)
+  * the invertible Thomas-Wang hash64 (vendor/KseqHashIterator.hpp:129-139)
+  * window validity (k consecutive real bases inside the read)
+
+Mosaic has no 64-bit vector integers, so all 64-bit values are emulated as
+(hi, lo) uint32 pairs; hash64 is multiply-free (shifts/adds/xors only) so
+the emulation is exact and cheap (an add needs one carry compare).
+
+The table probe deliberately stays in XLA: the bucket-row gather is
+HBM-transaction-bound (measured ~18.5 ms for 3.9M 8-byte rows regardless
+of formulation), and Mosaic's dynamic-gather support is lane-local only
+(take_along_axis(axis=1) with indices < 128 lowers; axis=0 row gathers do
+not — probed on v5e).  What remains profitably fusable on the VPU is
+exactly this hash stage.
+
+Used by `--engine pallas` (run_count_v1 path) and testable on CPU via
+interpret mode.  Reference semantics: the per-base hot loop of
+FingerPrint::insertCount (src/FingerPrint.hpp:89-103).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TB = 256  # batch-row tile
+
+
+# ---- (hi, lo) uint32-pair arithmetic (all shift counts are Python ints) ----
+
+
+def _shl(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    z = jnp.zeros_like(lo)
+    if s == 32:
+        return lo, z
+    if s > 32:
+        return lo << (s - 32), z
+    return (hi << s) | (lo >> (32 - s)), lo << s
+
+
+def _shr(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    z = jnp.zeros_like(hi)
+    if s == 32:
+        return z, hi
+    if s > 32:
+        return z, hi >> (s - 32)
+    return hi >> s, (lo >> s) | (hi << (32 - s))
+
+
+def _add(ahi, alo, bhi, blo):
+    lo = alo + blo
+    carry = (lo < alo).astype(jnp.uint32)
+    return ahi + bhi + carry, lo
+
+
+def _xor(ahi, alo, bhi, blo):
+    return ahi ^ bhi, alo ^ blo
+
+
+def _mask(hi, lo, mhi: int, mlo: int):
+    return hi & jnp.uint32(mhi), lo & jnp.uint32(mlo)
+
+
+def _hash64_pair(hi, lo, k: int):
+    """hash64 on (hi, lo) pairs; mask = 2k bits (core/hash.py:hash64_np)."""
+    m = (1 << (2 * k)) - 1 if k < 32 else 0xFFFFFFFFFFFFFFFF
+    mhi, mlo = (m >> 32) & 0xFFFFFFFF, m & 0xFFFFFFFF
+
+    # key = (~key + (key << 21)) & mask
+    nhi, nlo = ~hi, ~lo
+    shi, slo = _shl(hi, lo, 21)
+    hi, lo = _mask(*_add(nhi, nlo, shi, slo), mhi, mlo)
+    # key ^= key >> 24
+    hi, lo = _xor(hi, lo, *_shr(hi, lo, 24))
+    # key = (key + (key << 3) + (key << 8)) & mask
+    ahi, alo = _add(hi, lo, *_shl(hi, lo, 3))
+    hi, lo = _mask(*_add(ahi, alo, *_shl(hi, lo, 8)), mhi, mlo)
+    # key ^= key >> 14
+    hi, lo = _xor(hi, lo, *_shr(hi, lo, 14))
+    # key = (key + (key << 2) + (key << 4)) & mask
+    ahi, alo = _add(hi, lo, *_shl(hi, lo, 2))
+    hi, lo = _mask(*_add(ahi, alo, *_shl(hi, lo, 4)), mhi, mlo)
+    # key ^= key >> 28
+    hi, lo = _xor(hi, lo, *_shr(hi, lo, 28))
+    # key = (key + (key << 31)) & mask
+    hi, lo = _mask(*_add(hi, lo, *_shl(hi, lo, 31)), mhi, mlo)
+    return hi, lo
+
+
+def _roll_left(x, j: int, L: int):
+    """cj[:, w] = x[:, (w + j) % L]."""
+    if j == 0:
+        return x
+    return pltpu.roll(x, shift=jnp.int32(L - j), axis=1)
+
+
+def _window_hash_kernel(codes_ref, len_ref, hi_ref, lo_ref, valid_ref, *, k: int):
+    c8 = codes_ref[:]  # [TB, L] u8
+    L = c8.shape[1]
+    c = c8.astype(jnp.uint32)
+    lengths = len_ref[:]  # [TB, 1] i32
+    pos = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    bad = ((c > 3) | (pos >= lengths)).astype(jnp.uint32)
+    cc = c & jnp.uint32(3)
+    comp = cc ^ jnp.uint32(3)
+
+    z = jnp.zeros_like(cc)
+    fw_hi, fw_lo = z, z
+    rv_hi, rv_lo = z, z
+    badsum = jnp.zeros_like(bad)
+    for j in range(k):
+        cj = _roll_left(cc, j, L)
+        pj = _roll_left(comp, j, L)
+        bj = _roll_left(bad, j, L)
+        fw_hi, fw_lo = _shl(fw_hi, fw_lo, 2)
+        fw_lo = fw_lo | cj
+        phi, plo = _shl(z, pj, 2 * j)
+        rv_hi, rv_lo = rv_hi | phi, rv_lo | plo
+        badsum = badsum + bj
+
+    lt = (fw_hi < rv_hi) | ((fw_hi == rv_hi) & (fw_lo < rv_lo))
+    canon_hi = jnp.where(lt, fw_hi, rv_hi)
+    canon_lo = jnp.where(lt, fw_lo, rv_lo)
+    h_hi, h_lo = _hash64_pair(canon_hi, canon_lo, k)
+
+    hi_ref[:] = h_hi
+    lo_ref[:] = h_lo
+    valid_ref[:] = (badsum == 0).astype(jnp.int32)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def pallas_window_hashes(codes, lengths, k: int):
+    """[B, L] u8 codes + [B] i32 lengths -> (h [B, W] u64, valid [B, W] bool).
+
+    Same contract as kernel.window_hashes / kernel_v2.window_hashes_packed.
+    """
+    B, L = codes.shape
+    W = L - k + 1
+    # large k fully unrolls ~k*12 vector ops per tile; the remote compile
+    # helper falls over on 256x256 tiles beyond k~24 — shrink the row tile
+    tb = TB if k <= 24 else TB // 4
+    pad = (-B) % tb
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0)), constant_values=4)
+        lengths = jnp.pad(lengths, (0, pad))
+    Bp = B + pad
+
+    kern = functools.partial(_window_hash_kernel, k=k)
+    # NB: the column index must share the program id's 32-bit type — a bare
+    # Python 0 traces as i64 under jax_enable_x64 and Mosaic fails to
+    # legalize the index-map return.
+    imap = lambda i: (i, jnp.int32(0))  # noqa: E731
+    hi, lo, valid = pl.pallas_call(
+        kern,
+        grid=(Bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), imap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, L), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, L), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, L), jnp.int32),
+        ],
+        interpret=_use_interpret(),
+    )(codes, lengths.astype(jnp.int32).reshape(-1, 1))
+
+    h = (hi[:B, :W].astype(jnp.uint64) << jnp.uint64(32)) | lo[:B, :W].astype(
+        jnp.uint64
+    )
+    valid = valid[:B, :W] != 0
+    return h, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_kmers"))
+def pallas_count_step(
+    codes, lengths, keys, vals, counts, total_kmers, total_hits, *, k, n_kmers
+):
+    """v1-interface counting step with the Pallas hash stage.
+
+    Tail identical to kernel.count_step_impl (src/FingerPrint.hpp:89-103
+    semantics: probe the site table per window, count matches)."""
+    h, valid = pallas_window_hashes(codes, lengths, k)
+
+    n_buckets = keys.shape[0]
+    bucket = (h & jnp.uint64(n_buckets - 1)).astype(jnp.int32)
+    kg = keys[bucket]
+    vg = vals[bucket]
+    match = kg == h[..., None]
+    slot_val = jnp.where(match, vg, jnp.int32(n_kmers)).min(axis=-1)
+    found = match.any(axis=-1) & valid
+    idx = jnp.where(found, slot_val, jnp.int32(n_kmers))
+
+    counts = counts.at[idx.reshape(-1)].add(1, mode="drop")
+    total_kmers = total_kmers + valid.sum(dtype=jnp.int64)
+    total_hits = total_hits + found.sum(dtype=jnp.int64)
+    return counts, total_kmers, total_hits

@@ -55,11 +55,9 @@ def run_count_v3(
     """
     from collections import deque
 
-    from ntsm_tpu.count.kernel_v3 import (
-        build_table_v3,
-        count_step_v3,
-        pack_batch,
-    )
+    from ntsm_tpu.count.kernel_v2 import pack_batch_fast
+    from ntsm_tpu.count.kernel_v3 import build_table_v3, count_step_v3
+    from ntsm_tpu.io.fastx import PrefetchReader
 
     config = config or EngineConfig(
         batch_reads=opts.batch_reads, segment_len=opts.segment_len
@@ -95,8 +93,10 @@ def run_count_v3(
 
     eff_cand_k = config.cand_k if config.cand_k is not None else CAND_K
 
-    reader = BatchReader(
-        filenames, k=k, seglen=config.segment_len, batch=config.batch_reads
+    reader = PrefetchReader(
+        BatchReader(
+            filenames, k=k, seglen=config.segment_len, batch=config.batch_reads
+        )
     )
     window = max(2, config.early_term_check_every)  # batches per diag drain
     pending: deque = deque()  # (diag device array, host codes for fallback)
@@ -123,7 +123,7 @@ def run_count_v3(
                 total_hits += n_hits
 
     for batch in reader:
-        packed, vbits = pack_batch(batch.codes)
+        packed, vbits = pack_batch_fast(batch.codes)
         counts, diag = count_step_v3(
             jnp.asarray(packed),
             jnp.asarray(vbits),

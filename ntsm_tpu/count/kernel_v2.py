@@ -72,6 +72,30 @@ def pack_batch(codes: np.ndarray):
     return packed, vbits
 
 
+def pack_batch_fast(codes: np.ndarray):
+    """pack_batch via the native C++ packer when available (0.5 ms vs
+    13 ms/16384x256 batch), numpy otherwise."""
+    from ntsm_tpu import native
+
+    lib = native.load()
+    B, L = codes.shape
+    if lib is None or L % 8 != 0:
+        return pack_batch(codes)
+    import ctypes
+
+    codes = np.ascontiguousarray(codes)
+    packed = np.empty((B, L // 4), dtype=np.uint8)
+    vbits = np.empty((B, L // 8), dtype=np.uint8)
+    lib.ntsm_pack_batch(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        B,
+        L,
+        packed.ctypes.data_as(ctypes.c_void_p),
+        vbits.ctypes.data_as(ctypes.c_void_p),
+    )
+    return packed, vbits
+
+
 def unpack_codes(packed, vbits, L: int):
     """Device-side unpack -> (codes2bit [B, L] u8 in 0..3, valid [B, L] bool).
 

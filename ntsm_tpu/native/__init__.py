@@ -1,0 +1,98 @@
+"""Native (C++) host runtime components.
+
+The counting hot path runs on TPU, but the host must parse and encode
+FASTQ fast enough to feed it (~150 Mbase/s/chip); the pure-Python reader
+tops out far below that.  This package wraps `fastx_reader.cpp` — the
+TPU-native analogue of the reference's kseq parser (vendor/kseq.h:178-219)
+— via ctypes.  The .so is built on demand with g++ (see Makefile); when
+neither a prebuilt .so nor a compiler is available every caller falls back
+to the Python reader transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libntsm_fastx.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        res = subprocess.run(
+            ["make", "-C", _DIR, "-s"],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        if res.returncode != 0:
+            print(
+                f"ntsm_tpu.native: build failed, using Python reader\n{res.stderr}",
+                file=sys.stderr,
+            )
+            return False
+        return True
+    except Exception as e:  # no make/g++ in this environment
+        print(
+            f"ntsm_tpu.native: cannot build ({e}), using Python reader",
+            file=sys.stderr,
+        )
+        return False
+
+
+def load():
+    """Return the loaded native library, building it if needed, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("NTSM_NO_NATIVE"):
+            return None
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+            os.path.join(_DIR, "fastx_reader.cpp")
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            print(f"ntsm_tpu.native: load failed ({e})", file=sys.stderr)
+            return None
+        lib.ntsm_reader_open.restype = ctypes.c_void_p
+        lib.ntsm_reader_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.ntsm_reader_close.argtypes = [ctypes.c_void_p]
+        lib.ntsm_reader_next_batch.restype = ctypes.c_int
+        lib.ntsm_reader_next_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.ntsm_pack_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None

@@ -1,0 +1,352 @@
+// Native FASTA/FASTQ(.gz) chunker + 2-bit batch encoder.
+//
+// The TPU-native replacement for the role kseq plays in the reference
+// (vendor/kseq.h:178-219 feeding FingerPrint::computeCounts,
+// src/FingerPrint.hpp:46-87): stream reads off disk, translate to 2-bit
+// codes (A/a=0 C/c=1 G/g=2 T/t/U/u=3, else 4 — vendor/KseqHashIterator.hpp:
+// 114-127), split long reads into seglen segments with a k-1 halo (the
+// k-mer multiset is preserved exactly), and emit fixed-shape
+// [batch, seglen] code blocks — plus, optionally, the 2-bit block-packed
+// upload format of the v3 device engine (see count/kernel_v2.py:pack_batch:
+// byte j of row holds bases j, j+L/4, j+L/2, j+3L/4; validity bitmask in
+// the same block layout).
+//
+// Exposed as a tiny C ABI driven from Python via ctypes; the GIL is
+// released for the duration of every next_batch call, so a one-thread
+// prefetcher overlaps parsing with device compute (the working version of
+// the reference's dead producer-consumer path,
+// vendor/ProdConKseqRunner.hpp:31-184).
+//
+// Build: make -C ntsm_tpu/native   (g++ -O3 -shared -fPIC, links -lz)
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr size_t CHUNK = 1 << 20;
+
+struct GzFile {
+    FILE* fp = nullptr;
+    z_stream zs{};
+    bool gz = false;
+    bool eof_ = false;
+    std::vector<uint8_t> in;
+    size_t in_pos = 0, in_len = 0;
+
+    bool open(const char* path) {
+        fp = std::fopen(path, "rb");
+        if (!fp) return false;
+        in.resize(CHUNK);
+        in_len = std::fread(in.data(), 1, CHUNK, fp);
+        in_pos = 0;
+        if (in_len >= 2 && in[0] == 0x1f && in[1] == 0x8b) {
+            gz = true;
+            std::memset(&zs, 0, sizeof zs);
+            // 15+32: zlib/gzip auto-detect; inflateReset2 below handles
+            // concatenated members (bgzf, pigz output)
+            if (inflateInit2(&zs, 15 + 32) != Z_OK) return false;
+            zs.next_in = in.data();
+            zs.avail_in = static_cast<uInt>(in_len);
+        }
+        return true;
+    }
+
+    // returns bytes produced into buf (0 = eof)
+    size_t read(uint8_t* buf, size_t want) {
+        if (!gz) {
+            size_t got = 0;
+            if (in_pos < in_len) {
+                got = std::min(want, in_len - in_pos);
+                std::memcpy(buf, in.data() + in_pos, got);
+                in_pos += got;
+            }
+            if (got < want && fp && !std::feof(fp)) {
+                got += std::fread(buf + got, 1, want - got, fp);
+            }
+            return got;
+        }
+        size_t produced = 0;
+        while (produced < want) {
+            if (zs.avail_in == 0 && fp && !std::feof(fp)) {
+                in_len = std::fread(in.data(), 1, CHUNK, fp);
+                zs.next_in = in.data();
+                zs.avail_in = static_cast<uInt>(in_len);
+            }
+            zs.next_out = buf + produced;
+            zs.avail_out = static_cast<uInt>(want - produced);
+            int rc = inflate(&zs, Z_NO_FLUSH);
+            produced = want - zs.avail_out;
+            if (rc == Z_STREAM_END) {
+                if (zs.avail_in == 0 && (!fp || std::feof(fp))) break;
+                if (inflateReset2(&zs, 15 + 32) != Z_OK) break;
+            } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+                break;  // corrupt trailing data: stop like gzip does
+            } else if (rc == Z_BUF_ERROR && zs.avail_in == 0 &&
+                       (!fp || std::feof(fp))) {
+                break;
+            }
+        }
+        return produced;
+    }
+
+    void close() {
+        if (gz) inflateEnd(&zs);
+        if (fp) std::fclose(fp);
+        fp = nullptr;
+    }
+};
+
+struct LineReader {
+    GzFile f;
+    std::vector<uint8_t> buf;
+    size_t pos = 0, len = 0;
+    bool eof = false;
+
+    bool open(const char* path) {
+        buf.resize(CHUNK);
+        pos = len = 0;
+        eof = false;
+        f = GzFile{};
+        return f.open(path);
+    }
+    void close() { f.close(); }
+
+    bool fill() {
+        if (eof) return false;
+        if (pos < len) std::memmove(buf.data(), buf.data() + pos, len - pos);
+        len -= pos;
+        pos = 0;
+        if (len == buf.size()) buf.resize(buf.size() * 2);
+        size_t got = f.read(buf.data() + len, buf.size() - len);
+        len += got;
+        if (got == 0) eof = true;
+        return got > 0;
+    }
+
+    // next line (without \n / \r\n); returns false at EOF
+    bool getline(const uint8_t** out, size_t* out_len) {
+        for (;;) {
+            uint8_t* nl = static_cast<uint8_t*>(
+                std::memchr(buf.data() + pos, '\n', len - pos));
+            if (nl) {
+                size_t n = static_cast<size_t>(nl - (buf.data() + pos));
+                *out = buf.data() + pos;
+                *out_len = (n > 0 && (*out)[n - 1] == '\r') ? n - 1 : n;
+                pos += n + 1;
+                return true;
+            }
+            if (!fill()) {
+                if (pos < len) {  // last line without newline
+                    size_t n = len - pos;
+                    *out = buf.data() + pos;
+                    *out_len = (n > 0 && (*out)[n - 1] == '\r') ? n - 1 : n;
+                    pos = len;
+                    return true;
+                }
+                return false;
+            }
+        }
+    }
+
+    int peek() {
+        while (pos >= len) {
+            if (!fill()) return -1;
+        }
+        return buf[pos];
+    }
+};
+
+uint8_t NT4[256];
+struct Nt4Init {
+    Nt4Init() {
+        std::memset(NT4, 4, sizeof NT4);
+        NT4['A'] = NT4['a'] = 0;
+        NT4['C'] = NT4['c'] = 1;
+        NT4['G'] = NT4['g'] = 2;
+        NT4['T'] = NT4['t'] = NT4['U'] = NT4['u'] = 3;
+    }
+} nt4_init;
+
+struct Reader {
+    std::vector<std::string> paths;
+    size_t path_idx = 0;
+    LineReader lr;
+    bool file_open = false;
+    bool fastq = false;
+    int k, seglen, batch;
+    std::vector<uint8_t> seq;      // encoded current read
+    std::vector<uint8_t> carry;    // encoded segments carried past a flush
+    bool carry_cont = false;       // carry continues a read (its sub-k tail
+                                   // must not be emitted as a fresh read)
+
+    bool next_file() {
+        while (path_idx < paths.size()) {
+            if (lr.open(paths[path_idx].c_str())) {
+                ++path_idx;
+                file_open = true;
+                int c = lr.peek();
+                fastq = (c == '@');
+                return true;
+            }
+            return false;  // open failure = hard error (like gzopen exit)
+        }
+        return false;
+    }
+
+    // read next record's encoded sequence into `seq`; false at global EOF
+    bool next_record() {
+        const uint8_t* line;
+        size_t n;
+        for (;;) {
+            if (!file_open) {
+                if (!next_file()) return false;
+            }
+            if (fastq) {
+                // header
+                if (!lr.getline(&line, &n)) {
+                    lr.close();
+                    file_open = false;
+                    continue;
+                }
+                if (n == 0) continue;
+                if (!lr.getline(&line, &n)) {
+                    lr.close();
+                    file_open = false;
+                    continue;
+                }
+                seq.resize(n);
+                for (size_t i = 0; i < n; ++i) seq[i] = NT4[line[i]];
+                size_t qn = 0;
+                const uint8_t* ql;
+                lr.getline(&ql, &qn);  // '+'
+                lr.getline(&ql, &qn);  // qual
+                return true;
+            }
+            // FASTA: accumulate body lines until next '>' or EOF
+            int c = lr.peek();
+            if (c < 0) {
+                lr.close();
+                file_open = false;
+                continue;
+            }
+            if (c == '>') lr.getline(&line, &n);  // consume header
+            seq.clear();
+            for (;;) {
+                c = lr.peek();
+                if (c < 0 || c == '>') break;
+                lr.getline(&line, &n);
+                size_t off = seq.size();
+                seq.resize(off + n);
+                for (size_t i = 0; i < n; ++i) seq[off + i] = NT4[line[i]];
+            }
+            return true;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ntsm_reader_open(const char** paths, int n_paths, int k, int seglen,
+                       int batch) {
+    auto* r = new Reader;
+    for (int i = 0; i < n_paths; ++i) r->paths.emplace_back(paths[i]);
+    r->k = k;
+    r->seglen = seglen;
+    r->batch = batch;
+    return r;
+}
+
+void ntsm_reader_close(void* h) { delete static_cast<Reader*>(h); }
+
+// Fill up to `batch` rows of codes [batch, seglen] / lengths [batch].
+// Returns rows filled; *n_reads / *n_bases accumulate whole reads consumed
+// into this batch (reference counts every byte incl. Ns,
+// src/FingerPrint.hpp:102).  Rows beyond the return value are all-4 /
+// length 0.  Returns 0 at end of input.
+int ntsm_reader_next_batch(void* h, uint8_t* codes, int32_t* lengths,
+                           long* n_reads, long* n_bases) {
+    auto* r = static_cast<Reader*>(h);
+    const int L = r->seglen, B = r->batch, k = r->k;
+    const int stride = L - (k - 1);
+    std::memset(codes, 4, static_cast<size_t>(B) * L);
+    std::memset(lengths, 0, sizeof(int32_t) * B);
+    *n_reads = 0;
+    *n_bases = 0;
+    int row = 0;
+
+    auto emit = [&](const uint8_t* enc, long n, bool cont) -> bool {
+        // segment one read; returns false if the batch filled mid-read and
+        // stores the remainder in carry (resumed next call)
+        long start = 0;
+        for (;;) {
+            long m = std::min<long>(L, n - start);
+            if (m >= k || (start == 0 && !cont)) {
+                if (row == B) {
+                    r->carry.assign(enc + start, enc + n);
+                    r->carry_cont = cont || start > 0;
+                    return false;
+                }
+                std::memcpy(codes + static_cast<size_t>(row) * L, enc + start,
+                            m);
+                lengths[row] = static_cast<int32_t>(m);
+                ++row;
+            }
+            if (start + L >= n) return true;
+            start += stride;
+        }
+    };
+
+    // resume a read interrupted by a batch boundary
+    if (!r->carry.empty()) {
+        std::vector<uint8_t> c;
+        c.swap(r->carry);
+        bool cont = r->carry_cont;
+        r->carry_cont = false;
+        // carried segments continue an already-counted read
+        emit(c.data(), static_cast<long>(c.size()), cont);
+    }
+
+    while (row < B) {
+        if (!r->next_record()) break;
+        *n_reads += 1;
+        *n_bases += static_cast<long>(r->seq.size());
+        if (!emit(r->seq.data(), static_cast<long>(r->seq.size()), false))
+            break;
+    }
+    return row;
+}
+
+// Block-layout 2-bit pack of a [B, L] code batch (kernel_v2.pack_batch):
+// packed [B, L/4] u8 (bit pairs 0,2,4,6 = bases j, j+L/4, j+L/2, j+3L/4),
+// vbits [B, L/8] u8 (bit i = base j + i*L/8 is a real A/C/G/T).
+void ntsm_pack_batch(const uint8_t* codes, int B, int L, uint8_t* packed,
+                     uint8_t* vbits) {
+    const int q = L / 4, e = L / 8;
+    for (int b = 0; b < B; ++b) {
+        const uint8_t* row = codes + static_cast<size_t>(b) * L;
+        uint8_t* p = packed + static_cast<size_t>(b) * q;
+        for (int j = 0; j < q; ++j) {
+            p[j] = static_cast<uint8_t>((row[j] & 3) |
+                                        ((row[j + q] & 3) << 2) |
+                                        ((row[j + 2 * q] & 3) << 4) |
+                                        ((row[j + 3 * q] & 3) << 6));
+        }
+        uint8_t* v = vbits + static_cast<size_t>(b) * e;
+        for (int j = 0; j < e; ++j) {
+            uint8_t acc = 0;
+            for (int i = 0; i < 8; ++i)
+                acc |= static_cast<uint8_t>((row[j + i * e] < 4) << i);
+            v[j] = acc;
+        }
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,139 @@
+"""Native C++ chunker: batch-exact parity with the Python reader across
+formats (FASTQ, multi-line FASTA, gzip, multi-member gzip), long-read
+segmentation, batch-boundary carries, and the 2-bit pack."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from ntsm_tpu import native
+from ntsm_tpu.count.kernel_v2 import pack_batch
+from ntsm_tpu.io.fastx import NativeBatchReader, PrefetchReader, PyBatchReader
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native reader not built"
+)
+
+
+def _batches(reader):
+    return [(b.codes, b.lengths, b.n_reads, b.n_bases) for b in reader]
+
+
+def _assert_same(paths, k=19, seglen=128, batch=16):
+    py = _batches(PyBatchReader(paths, k=k, seglen=seglen, batch=batch))
+    nt = _batches(NativeBatchReader(paths, k=k, seglen=seglen, batch=batch))
+    assert len(py) == len(nt)
+    for (pc, pl, pr, pb), (nc, nl, nr, nb) in zip(py, nt):
+        np.testing.assert_array_equal(nc, pc)
+        np.testing.assert_array_equal(nl, pl)
+        assert nr == pr
+        assert nb == pb
+
+
+def _write_fastq(path, seqs, gz=False):
+    op = gzip.open if gz else open
+    with op(path, "wt") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f"@r{i} extra stuff\n{s}\n+\n{'I' * len(s)}\n")
+
+
+def _rand_seq(rng, n, n_frac=0.0):
+    bases = np.array(list("ACGTacgtN"), dtype="U1")
+    p = np.array([0.12] * 8 + [0.04])
+    p[-1] = n_frac if n_frac else p[-1]
+    p = p / p.sum()
+    return "".join(rng.choice(bases, size=n, p=p))
+
+
+def test_fastq_parity(rng, tmp_path):
+    fq = str(tmp_path / "a.fq")
+    _write_fastq(fq, [_rand_seq(rng, int(n)) for n in rng.integers(30, 400, 60)])
+    _assert_same([fq])
+
+
+def test_fastq_gzip_parity(rng, tmp_path):
+    fq = str(tmp_path / "a.fq.gz")
+    _write_fastq(fq, [_rand_seq(rng, int(n)) for n in rng.integers(30, 400, 60)], gz=True)
+    _assert_same([fq])
+
+
+def test_multimember_gzip(rng, tmp_path):
+    p1 = tmp_path / "p1.gz"
+    p2 = tmp_path / "p2.gz"
+    _write_fastq(str(p1), [_rand_seq(rng, 100) for _ in range(5)], gz=True)
+    _write_fastq(str(p2), [_rand_seq(rng, 100) for _ in range(5)], gz=True)
+    cat = tmp_path / "cat.fq.gz"
+    cat.write_bytes(p1.read_bytes() + p2.read_bytes())  # bgzf-style concat
+    _assert_same([str(cat)])
+
+
+def test_multiline_fasta_parity(rng, tmp_path):
+    fa = str(tmp_path / "a.fa")
+    with open(fa, "w") as fh:
+        for i in range(20):
+            s = _rand_seq(rng, int(rng.integers(50, 700)))
+            fh.write(f">ctg{i} desc\n")
+            for j in range(0, len(s), 60):
+                fh.write(s[j : j + 60] + "\n")
+    _assert_same([fa])
+
+
+def test_long_reads_and_carry(rng, tmp_path):
+    """Reads much longer than seglen with a tiny batch size force carries
+    across batch boundaries."""
+    fq = str(tmp_path / "long.fq")
+    _write_fastq(fq, [_rand_seq(rng, 3000, n_frac=0.02) for _ in range(7)])
+    _assert_same([fq], seglen=96, batch=3)
+
+
+def test_multi_file_mixed(rng, tmp_path):
+    fq = str(tmp_path / "a.fq")
+    fa = str(tmp_path / "b.fa")
+    gz = str(tmp_path / "c.fq.gz")
+    _write_fastq(fq, [_rand_seq(rng, 150) for _ in range(10)])
+    with open(fa, "w") as fh:
+        for i in range(4):
+            fh.write(f">c{i}\n{_rand_seq(rng, 333)}\n")
+    _write_fastq(gz, [_rand_seq(rng, 80) for _ in range(10)], gz=True)
+    _assert_same([fq, fa, gz])
+
+
+def test_crlf_lines(rng, tmp_path):
+    fq = str(tmp_path / "crlf.fq")
+    with open(fq, "wb") as fh:
+        for i in range(6):
+            s = _rand_seq(rng, 120)
+            fh.write(f"@r{i}\r\n{s}\r\n+\r\n{'I'*len(s)}\r\n".encode())
+    _assert_same([fq])
+
+
+def test_native_pack_matches_numpy(rng):
+    import ctypes
+
+    lib = native.load()
+    B, L = 64, 256
+    codes = rng.integers(0, 5, size=(B, L), dtype=np.uint8)
+    exp_p, exp_v = pack_batch(codes)
+    got_p = np.empty((B, L // 4), dtype=np.uint8)
+    got_v = np.empty((B, L // 8), dtype=np.uint8)
+    lib.ntsm_pack_batch(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        B,
+        L,
+        got_p.ctypes.data_as(ctypes.c_void_p),
+        got_v.ctypes.data_as(ctypes.c_void_p),
+    )
+    np.testing.assert_array_equal(got_p, exp_p)
+    np.testing.assert_array_equal(got_v, exp_v)
+
+
+def test_prefetch_wrapper(rng, tmp_path):
+    fq = str(tmp_path / "a.fq")
+    _write_fastq(fq, [_rand_seq(rng, 200) for _ in range(40)])
+    base = _batches(PyBatchReader([fq], k=19, seglen=128, batch=8))
+    pre = _batches(PrefetchReader(PyBatchReader([fq], k=19, seglen=128, batch=8)))
+    assert len(base) == len(pre)
+    for (a, al, *_), (b, bl, *_) in zip(base, pre):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(al, bl)

@@ -44,6 +44,7 @@ def run_count_v3(
     filenames,
     opts: Options,
     config: EngineConfig | None = None,
+    mesh=None,
 ) -> CountResult:
     """v3 pipeline: fingerprint-filtered probe with device-resident counts.
 
@@ -75,10 +76,26 @@ def run_count_v3(
     if config.cand_k is not None:
         kw["cand_k"] = config.cand_k
 
+    n_dev = 1
+    sharded_step = None
+    if mesh is not None:
+        from ntsm_tpu.parallel.mesh import make_sharded_count_step_v3
+
+        n_dev = mesh.devices.size
+        if config.batch_reads % n_dev:
+            raise ValueError(
+                f"batch_reads {config.batch_reads} not divisible by "
+                f"mesh size {n_dev}"
+            )
+        sharded_step = make_sharded_count_step_v3(mesh, **kw)
+
     sorted_hashes = np.sort(table.kmer_hashes)
     sort_order = np.argsort(table.kmer_hashes, kind="stable")
 
-    counts = jnp.zeros(n_kmers + 1, dtype=jnp.int32)
+    if mesh is None:
+        counts = jnp.zeros(n_kmers + 1, dtype=jnp.int32)
+    else:
+        counts = jnp.zeros((n_dev, n_kmers + 1), dtype=jnp.int32)
     host_counts = np.zeros(n_kmers, dtype=np.int64)  # overflow recounts
     total_kmers = 0
     total_hits = 0
@@ -112,27 +129,46 @@ def run_count_v3(
             return
         items = [pending.popleft() for _ in range(n)]
         diags = np.asarray(jnp.stack([d for d, _ in items]))
+        if mesh is None:
+            diags = diags[:, None, :]  # [n, 1, 3] — one "shard" per batch
         for (_, codes), dg in zip(items, diags):
-            n_valid, n_cand, n_hits = (int(x) for x in dg)
-            total_kmers += n_valid
-            if n_cand > eff_cand_k:
-                hit_idx, _ = count_codes_batch(codes, k, sorted_hashes, sort_order)
-                np.add.at(host_counts, hit_idx, 1)
-                total_hits += int(hit_idx.shape[0])
-            else:
-                total_hits += n_hits
+            shard_rows = codes.shape[0] // dg.shape[0]
+            for d in range(dg.shape[0]):
+                n_valid, n_cand, n_hits = (int(x) for x in dg[d])
+                total_kmers += n_valid
+                if n_cand > eff_cand_k:
+                    # this device shard contributed nothing on device;
+                    # recount exactly its row slice
+                    rows = codes[d * shard_rows : (d + 1) * shard_rows]
+                    hit_idx, _ = count_codes_batch(
+                        rows, k, sorted_hashes, sort_order
+                    )
+                    np.add.at(host_counts, hit_idx, 1)
+                    total_hits += int(hit_idx.shape[0])
+                else:
+                    total_hits += n_hits
 
     for batch in reader:
         packed, vbits = pack_batch_fast(batch.codes)
-        counts, diag = count_step_v3(
-            jnp.asarray(packed),
-            jnp.asarray(vbits),
-            tab.fp,
-            tab.keys,
-            tab.vals,
-            counts,
-            **kw,
-        )
+        if mesh is None:
+            counts, diag = count_step_v3(
+                jnp.asarray(packed),
+                jnp.asarray(vbits),
+                tab.fp,
+                tab.keys,
+                tab.vals,
+                counts,
+                **kw,
+            )
+        else:
+            counts, diag = sharded_step(
+                jnp.asarray(packed),
+                jnp.asarray(vbits),
+                tab.fp,
+                tab.keys,
+                tab.vals,
+                counts,
+            )
         total_bases += batch.n_bases
         total_reads += batch.n_reads
         pending.append((diag, batch.codes))
@@ -150,6 +186,10 @@ def run_count_v3(
 
         print("Reached desired (-m) threshold", file=sys.stderr)
 
+    if mesh is not None:
+        from ntsm_tpu.parallel.mesh import merge_counts_across_devices
+
+        counts = merge_counts_across_devices(counts)
     counts_np = np.asarray(counts)[:n_kmers].astype(np.int64) + host_counts
     return CountResult(
         counts=counts_np,
@@ -259,11 +299,12 @@ def run_count(
     config: EngineConfig | None = None,
     use_pallas: bool = False,
     version: int = 3,
+    mesh=None,
 ) -> CountResult:
     if use_pallas:
         return run_count_v1(table, filenames, opts, config, use_pallas=True)
     if version == 3:
-        return run_count_v3(table, filenames, opts, config)
+        return run_count_v3(table, filenames, opts, config, mesh=mesh)
     if version == 2:
         return run_count_v2(table, filenames, opts, config)
     return run_count_v1(table, filenames, opts, config)

@@ -22,7 +22,16 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f=None, **kw):  # jax >= 0.8 renamed check_rep -> check_vma
+        if "check_rep" in kw:
+            kw["check_vma"] = kw.pop("check_rep")
+        return _shard_map_new(f, **kw) if f is not None else _shard_map_new(**kw)
+
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ntsm_tpu.count.kernel import count_step_impl
@@ -63,6 +72,57 @@ def make_sharded_count_step(mesh: Mesh, k: int, n_kmers: int):
         return c[None], tk[None], th[None]
 
     return jax.jit(step, donate_argnums=(4, 5, 6))
+
+
+def make_sharded_count_step_v3(
+    mesh: Mesh,
+    *,
+    k: int,
+    L: int,
+    n_buckets: int,
+    slots: int,
+    bbits: int,
+    cand_k: int | None = None,
+):
+    """Data-parallel v3 counting step (fingerprint probe, device-resident
+    counts) over the mesh.
+
+    packed/vbits are sharded on the batch axis; the fingerprint/key/value
+    planes are replicated; count state is [D, n_kmers+1] sharded on its
+    leading axis and diag is [D, 3] (per-device, so a shard that overflows
+    cand_k can be recounted host-side from just its row slice).  Zero
+    steady-state collectives — the one merge is `merge_counts_across_devices`
+    at the end of the run.
+    """
+    from ntsm_tpu.count.kernel_v2 import window_hashes_packed
+    from ntsm_tpu.count.kernel_v3 import CAND_K, probe_and_count
+
+    ck = CAND_K if cand_k is None else cand_k
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P(), P(), P(), P("data")),
+        out_specs=(P("data"), P("data")),
+        check_rep=False,
+    )
+    def step(packed, vbits, fp_t, keys_t, vals_t, counts):
+        h, valid = window_hashes_packed(packed, vbits, k, L)
+        c, diag = probe_and_count(
+            h,
+            valid,
+            fp_t,
+            keys_t,
+            vals_t,
+            counts[0],
+            n_buckets=n_buckets,
+            slots=slots,
+            bbits=bbits,
+            cand_k=ck,
+        )
+        return c[None], diag[None]
+
+    return jax.jit(step, donate_argnums=(5,))
 
 
 @functools.partial(jax.jit, static_argnames=())

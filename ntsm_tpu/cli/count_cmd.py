@@ -31,6 +31,10 @@ HELP = """Usage: ntsm count -s [FASTA] [OPTION]... [FILES...]
   -v, --verbose          Display verbose output.
       --version          Print version information.
       --engine = STR     ntsm_tpu extension: tpu (default), golden, pallas.
+      --checkpoint = STR ntsm_tpu extension: restartable snapshot file; an
+                         interrupted run resumes from it automatically.
+      --checkpoint-every = INT
+                         batches between snapshots [64].
 """
 
 
@@ -52,6 +56,8 @@ def run(argv) -> int:
                 "version",
                 "verbose",
                 "engine=",
+                "checkpoint=",
+                "checkpoint-every=",
             ],
         )
     except getopt.GetoptError as e:
@@ -84,6 +90,10 @@ def run(argv) -> int:
             opts = opts.replace(verbose=opts.verbose + 1)
         elif flag == "--engine":
             engine = val
+        elif flag == "--checkpoint":
+            opts = opts.replace(checkpoint=val)
+        elif flag == "--checkpoint-every":
+            opts = opts.replace(checkpoint_every=int(val))
 
     die = False
     if opts.k > 32:

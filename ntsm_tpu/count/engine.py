@@ -37,6 +37,9 @@ class EngineConfig:
     segment_len: int = 256
     early_term_check_every: int = 4  # batches between host-side -m checks
     cand_k: int | None = None  # v3 candidate width override (tests)
+    checkpoint_path: str | None = None  # periodic restartable snapshots
+    checkpoint_every: int = 64  # batches between snapshots
+    fail_after_batches: int | None = None  # fault injection (tests)
 
 
 def run_count_v3(
@@ -61,7 +64,10 @@ def run_count_v3(
     from ntsm_tpu.io.fastx import PrefetchReader
 
     config = config or EngineConfig(
-        batch_reads=opts.batch_reads, segment_len=opts.segment_len
+        batch_reads=opts.batch_reads,
+        segment_len=opts.segment_len,
+        checkpoint_path=getattr(opts, "checkpoint", None),
+        checkpoint_every=getattr(opts, "checkpoint_every", 64),
     )
     k = table.k
     n_kmers = table.n_kmers
@@ -110,6 +116,39 @@ def run_count_v3(
 
     eff_cand_k = config.cand_k if config.cand_k is not None else CAND_K
 
+    # --- checkpoint/resume (see count/checkpoint.py) ---
+    skip_batches = 0
+    sig = None
+    if config.checkpoint_path:
+        from ntsm_tpu.count.checkpoint import load_snapshot, params_sig
+
+        sig = params_sig(
+            filenames, k, config.segment_len, config.batch_reads, n_kmers
+        )
+        snap = load_snapshot(config.checkpoint_path, sig)
+        if snap is not None:
+            skip_batches = snap["n_batches"]
+            host_counts += snap["counts"]
+            total_kmers = snap["total_kmers"]
+            total_hits = snap["total_hits"]
+            total_bases = snap["total_bases"]
+            total_reads = snap["total_reads"]
+            import sys
+
+            print(
+                f"Resuming from checkpoint {config.checkpoint_path} "
+                f"({skip_batches} batches done)",
+                file=sys.stderr,
+            )
+
+    def merged_counts_np() -> np.ndarray:
+        c = counts
+        if mesh is not None:
+            from ntsm_tpu.parallel.mesh import merge_counts_across_devices
+
+            c = merge_counts_across_devices(c)
+        return np.asarray(c)[:n_kmers].astype(np.int64) + host_counts
+
     reader = PrefetchReader(
         BatchReader(
             filenames, k=k, seglen=config.segment_len, batch=config.batch_reads
@@ -148,7 +187,11 @@ def run_count_v3(
                 else:
                     total_hits += n_hits
 
+    batch_idx = 0
     for batch in reader:
+        batch_idx += 1
+        if batch_idx <= skip_batches:
+            continue  # deterministic reader: parse-only skip on resume
         packed, vbits = pack_batch_fast(batch.codes)
         if mesh is None:
             counts, diag = count_step_v3(
@@ -178,6 +221,25 @@ def run_count_v3(
             if check_term and total_hits > max_counts:
                 early = True
                 break
+        if config.checkpoint_path and batch_idx % config.checkpoint_every == 0:
+            from ntsm_tpu.count.checkpoint import save_snapshot
+
+            drain(len(pending))  # snapshot state = exactly batch_idx batches
+            save_snapshot(
+                config.checkpoint_path,
+                sig=sig,
+                n_batches=batch_idx,
+                counts=merged_counts_np(),
+                total_kmers=total_kmers,
+                total_hits=total_hits,
+                total_bases=total_bases,
+                total_reads=total_reads,
+            )
+        if (
+            config.fail_after_batches is not None
+            and batch_idx - skip_batches >= config.fail_after_batches
+        ):
+            raise RuntimeError("ntsm: injected failure (fail_after_batches)")
     drain(len(pending))
     if check_term and not early:
         early = total_hits > max_counts

@@ -75,6 +75,8 @@ class Options:
     # read batch geometry for the device counting pipeline
     batch_reads: int = 16384
     segment_len: int = 256
+    checkpoint: str | None = None  # restartable count snapshots (extension)
+    checkpoint_every: int = 64  # batches between snapshots
 
     def replace(self, **kw) -> "Options":
         return dataclasses.replace(self, **kw)

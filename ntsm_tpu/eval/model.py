@@ -32,7 +32,8 @@ class CountData:
 
     # derived (filled by prepare())
     cls: np.ndarray = field(default=None)  # [N, L] genotype class
-    s_single: np.ndarray = field(default=None)  # [N, L] f64 single terms
+    _s_single: np.ndarray = field(default=None, repr=False)
+    _min_cov: int = field(default=1, repr=False)
     hets: np.ndarray = field(default=None)  # [N] over all sites
     homs: np.ndarray = field(default=None)
     miss: np.ndarray = field(default=None)
@@ -46,6 +47,28 @@ class CountData:
     @property
     def n_sites(self) -> int:
         return self.max_counts.shape[1]
+
+    @property
+    def s_single(self) -> np.ndarray:
+        """[N, L] f64 per-site single-sample likelihood terms
+        (computeSumLogPSingle, CompareCounts.hpp:968-991).  Lazy: only the
+        exact engine reads it; the TPU engine derives its decomposed form
+        on device.  max(den, 1) is exact — a zero denominator implies both
+        masks are false (any min_cov >= 0), and it avoids the FP-invalid
+        microtraps that made this ~3x slower on this host."""
+        if self._s_single is None:
+            a = self.max_counts[:, :, 0]
+            b = self.max_counts[:, :, 1]
+            mc = self._min_cov
+            pa = a > mc
+            pb = b > mc
+            af = a.astype(np.float64)
+            bf = b.astype(np.float64)
+            den = np.maximum(af + bf, 1.0)
+            freq_at = np.where(pa, af / den, 0.0)
+            freq_cg = np.where(pb, bf / den, 0.0)
+            self._s_single = af * freq_at + bf * freq_cg
+        return self._s_single
 
     def prepare(self, opts: Options) -> "CountData":
         a = self.max_counts[:, :, 0]
@@ -63,15 +86,8 @@ class CountData:
         self.homs = ((cls == HOM_AT) | (cls == HOM_CG)).sum(axis=1)
         self.miss = (cls == UNKNOWN).sum(axis=1)
 
-        # per-site single-sample likelihood terms
-        # (computeSumLogPSingle, CompareCounts.hpp:968-991)
-        af = a.astype(np.float64)
-        bf = b.astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            den = af + bf
-            freq_at = np.where(pa, af / den, 0.0)
-            freq_cg = np.where(pb, bf / den, 0.0)
-        self.s_single = af * freq_at + bf * freq_cg
+        self._min_cov = opts.min_cov
+        self._s_single = None  # lazy: only the exact engine needs it
 
         # error rate (computeErrorRate, CompareCounts.hpp:1198-1217)
         n = self.n_samples

@@ -28,6 +28,8 @@ src/CompareCounts.hpp:591-624) becomes dense device linear algebra:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -58,10 +60,24 @@ def _pad_sites(x: np.ndarray, c: int, value=0):
 
 
 @jax.jit
-def _chunked_matmul_f64(lhs, rhs):
-    """sum_c lhs[:, c, :] @ rhs[:, c, :].T with f64 cross-chunk accumulation.
+def _two_sum(hi, lo, p):
+    """Compensated (Knuth two-sum) f32-pair accumulation.
 
-    lhs: [N, C, c] f32, rhs: [M, C, c] f32 -> [N, M] f64
+    TPU f64 is software-emulated and a scan carrying an f64 accumulator ran
+    ~1000x slower than this (28 s vs 0.03 s for the same [N, C, c] sums on
+    v5e); the f32 hi/lo pair keeps ~2^-48 relative error, recombined in
+    real f64 on the host."""
+    s = hi + p
+    z = s - hi
+    e = (hi - (s - z)) + (p - z)
+    return s, lo + e
+
+
+def _chunked_matmul_f64(lhs, rhs):
+    """sum_c lhs[:, c, :] @ rhs[:, c, :].T with compensated accumulation.
+
+    lhs: [N, C, c] f32, rhs: [M, C, c] f32 -> (hi, lo) [N, M] f32 pair;
+    combine as hi.astype(f64) + lo.astype(f64) on the host.
     """
     N = lhs.shape[0]
     M = rhs.shape[0]
@@ -76,11 +92,12 @@ def _chunked_matmul_f64(lhs, rhs):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        return acc + part.astype(jnp.float64), None
+        hi, lo = acc
+        return _two_sum(hi, lo, part), None
 
-    acc0 = jnp.zeros((N, M), jnp.float64)
+    z0 = jnp.zeros((N, M), jnp.float32)
     acc, _ = jax.lax.scan(
-        body, acc0, (jnp.swapaxes(lhs, 0, 1), jnp.swapaxes(rhs, 0, 1))
+        body, (z0, z0), (jnp.swapaxes(lhs, 0, 1), jnp.swapaxes(rhs, 0, 1))
     )
     return acc
 
@@ -104,75 +121,84 @@ def _make_joint_fn(min_cov: int):
             jint = ((jnp.where(pa, aa, 0.0) + jnp.where(pb, bb, 0.0)) * m).sum(-1)
             nf = pa.astype(jnp.float32) + pb.astype(jnp.float32)
             jfrac = ((nf * (aa * bb) / tot) * m).sum(-1)
-            ji, jf = acc
-            return (ji + jint.astype(jnp.float64), jf + jfrac.astype(jnp.float64)), None
+            ih, il, fh, fl = acc
+            ih, il = _two_sum(ih, il, jint)
+            fh, fl = _two_sum(fh, fl, jfrac)
+            return (ih, il, fh, fl), None
 
-        acc0 = (jnp.zeros((T, N), jnp.float64), jnp.zeros((T, N), jnp.float64))
-        (ji, jf), _ = jax.lax.scan(body, acc0, (ai, bi, vi, a, b, v))
-        return ji - jf
+        z0 = jnp.zeros((T, N), jnp.float32)
+        acc, _ = jax.lax.scan(body, (z0, z0, z0, z0), (ai, bi, vi, a, b, v))
+        return acc
 
     return joint_rows
 
 
-def compute_pair_stats_tpu(data: CountData, opts: Options) -> dict:
-    """All [N, N] pairwise statistics on device."""
-    N = data.n_samples
-    cls = data.cls
-    a_np = _pad_sites(data.max_counts[:, :, 0].astype(np.float32), CHUNK)
-    b_np = _pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK)
-    Lp = a_np.shape[1]
-    C = Lp // CHUNK
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _planes_and_tallies(a, b, mc, *, chunk: int):
+    """Everything derivable from the two count planes, on device:
+    genotype indicator tallies (exact f32 matmuls of 0/1 planes),
+    the single-sample likelihood planes and their pair sums (s1), and the
+    chunked [C, N, c] layouts reused by the joint pass.
 
-    onehot = {}
-    for name, klass in (("het", HET), ("hom_at", HOM_AT), ("hom_cg", HOM_CG)):
-        onehot[name] = _pad_sites((cls == klass).astype(np.float32), CHUNK)
-    valid_np = _pad_sites((cls != UNKNOWN).astype(np.float32), CHUNK)
-
-    het = jnp.asarray(onehot["het"])
-    hom_at = jnp.asarray(onehot["hom_at"])
-    hom_cg = jnp.asarray(onehot["hom_cg"])
-    vall = jnp.asarray(valid_np)
+    Moving this off the host matters twice over: the host is 1 core here
+    (f64 division over [N, L] was ~0.4 s per 16 samples), and the upload
+    drops from six [N, L] planes to the two count planes.
+    """
+    N, Lp = a.shape
+    C = Lp // chunk
+    pa = a > mc
+    pb = b > mc
+    het = (pa & pb).astype(jnp.float32)
+    hom_at = (pa & ~pb).astype(jnp.float32)
+    hom_cg = (~pa & pb).astype(jnp.float32)
+    vall = (pa | pb).astype(jnp.float32)
     hom = hom_at + hom_cg
 
     # indicator matmuls: inputs are exactly 0/1, so even the TPU's default
     # bf16 matmul passes are error-free; sums stay exact integers in f32
     # while below 2^24 (n_sites << 2^24).
     f32mm = lambda x, y: jnp.dot(x, y.T, preferred_element_type=jnp.float32)
-    tallies = jax.jit(
-        lambda het, hom_at, hom_cg, hom, vall: dict(
-            n=f32mm(vall, vall),
-            shared_hets=f32mm(het, het),
-            shared_homs=f32mm(hom_at, hom_at) + f32mm(hom_cg, hom_cg),
-            ibs0=f32mm(hom_at, hom_cg) + f32mm(hom_cg, hom_at),
-            hets1=f32mm(het, vall),
-            homs1=f32mm(hom, vall),
-        )
-    )(het, hom_at, hom_cg, hom, vall)
-    tallies = {k: np.asarray(v).astype(np.int64) for k, v in tallies.items()}
-
-    # single-sample per-site terms, integer and fractional planes (host f64)
-    a64 = data.max_counts[:, :, 0].astype(np.float64)
-    b64 = data.max_counts[:, :, 1].astype(np.float64)
-    mc = float(opts.min_cov)
-    pa = a64 > mc
-    pb = b64 > mc
-    s_int = np.where(pa, a64, 0.0) + np.where(pb, b64, 0.0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        tot = np.maximum(a64 + b64, 1.0)
-        s_frac = (pa.astype(np.float64) + pb.astype(np.float64)) * (a64 * b64) / tot
-
-    cshape = (N, C, CHUNK)
-    s_int_d = jnp.asarray(_pad_sites(s_int.astype(np.float32), CHUNK).reshape(cshape))
-    s_frac_d = jnp.asarray(_pad_sites(s_frac.astype(np.float32), CHUNK).reshape(cshape))
-    v_d = jnp.asarray(valid_np.reshape(cshape))
-    s1 = np.asarray(_chunked_matmul_f64(s_int_d, v_d)) - np.asarray(
-        _chunked_matmul_f64(s_frac_d, v_d)
+    tallies = dict(
+        n=f32mm(vall, vall),
+        shared_hets=f32mm(het, het),
+        shared_homs=f32mm(hom_at, hom_at) + f32mm(hom_cg, hom_cg),
+        ibs0=f32mm(hom_at, hom_cg) + f32mm(hom_cg, hom_at),
+        hets1=f32mm(het, vall),
+        homs1=f32mm(hom, vall),
     )
 
-    # joint pass, row-tiled
-    a_d = jnp.asarray(np.swapaxes(a_np.reshape(cshape), 0, 1))  # [C, N, c]
-    b_d = jnp.asarray(np.swapaxes(b_np.reshape(cshape), 0, 1))
-    v_t = jnp.asarray(np.swapaxes(valid_np.reshape(cshape), 0, 1))
+    # single-sample per-site terms (computeSumLogPSingle,
+    # CompareCounts.hpp:968-991), decomposed int/frac; padded sites have
+    # a = b = 0 so both masks are false and they contribute nothing.
+    s_int = jnp.where(pa, a, 0.0) + jnp.where(pb, b, 0.0)
+    tot = jnp.maximum(a + b, 1.0)
+    s_frac = (pa.astype(jnp.float32) + pb.astype(jnp.float32)) * (a * b) / tot
+
+    cshape = (N, C, chunk)
+    v_c = vall.reshape(cshape)
+    si_hi, si_lo = _chunked_matmul_f64(s_int.reshape(cshape), v_c)
+    sf_hi, sf_lo = _chunked_matmul_f64(s_frac.reshape(cshape), v_c)
+    s1 = (si_hi, si_lo, sf_hi, sf_lo)
+
+    a_t = jnp.swapaxes(a.reshape(cshape), 0, 1)  # [C, N, c]
+    b_t = jnp.swapaxes(b.reshape(cshape), 0, 1)
+    v_t = jnp.swapaxes(v_c, 0, 1)
+    return tallies, s1, a_t, b_t, v_t
+
+
+def compute_pair_stats_tpu(data: CountData, opts: Options) -> dict:
+    """All [N, N] pairwise statistics on device."""
+    N = data.n_samples
+    a_np = _pad_sites(data.max_counts[:, :, 0].astype(np.float32), CHUNK)
+    b_np = _pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK)
+
+    tallies_d, s1_d, a_d, b_d, v_t = _planes_and_tallies(
+        jnp.asarray(a_np), jnp.asarray(b_np), jnp.float32(opts.min_cov),
+        chunk=CHUNK,
+    )
+    tallies = {k: np.asarray(v).astype(np.int64) for k, v in tallies_d.items()}
+    si_hi, si_lo, sf_hi, sf_lo = (np.asarray(x).astype(np.float64) for x in s1_d)
+    s1 = (si_hi + si_lo) - (sf_hi + sf_lo)
     joint_fn = _make_joint_fn(opts.min_cov)
     J = np.zeros((N, N), np.float64)
     pad_rows = (-N) % ROW_TILE
@@ -186,7 +212,11 @@ def compute_pair_stats_tpu(data: CountData, opts: Options) -> dict:
             ai = jnp.pad(ai, padw)
             bi = jnp.pad(bi, padw)
             vi = jnp.pad(vi, padw)
-        J[r0:r1] = np.asarray(joint_fn(ai, bi, vi, a_d, b_d, v_t))[: r1 - r0]
+        ih, il, fh, fl = (
+            np.asarray(x).astype(np.float64)
+            for x in joint_fn(ai, bi, vi, a_d, b_d, v_t)
+        )
+        J[r0:r1] = ((ih + il) - (fh + fl))[: r1 - r0]
 
     loglik = -2.0 * (J - s1 - s1.T)
     cov = data.cov

@@ -60,6 +60,43 @@ class CountFile:
     total_counts: int  # sum of max_counts (src/CompareCounts.hpp:104-106)
 
 
+def _parse_native(path: str):
+    """Native counts.txt parse: (tk, ks, ids_blob, ints[n,6]) or None."""
+    from ntsm_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    import ctypes
+
+    if not hasattr(lib, "ntsm_parse_counts"):
+        return None
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    cap = buf.count(b"\n") + 2
+    ints = np.empty((cap, 6), dtype=np.int64)
+    ids = np.empty(len(buf) + cap + 16, dtype=np.uint8)
+    ids_len = ctypes.c_long(0)
+    tk = ctypes.c_long(0)
+    ks = ctypes.c_long(0)
+    lib.ntsm_parse_counts.restype = ctypes.c_long
+    n = lib.ntsm_parse_counts(
+        buf,
+        ctypes.c_long(len(buf)),
+        ints.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_long(cap),
+        ids.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_long(ids.shape[0]),
+        ctypes.byref(ids_len),
+        ctypes.byref(tk),
+        ctypes.byref(ks),
+    )
+    if n < 0:
+        return None
+    blob = ids[: ids_len.value].tobytes()
+    return tk.value, ks.value, blob, ints[:n]
+
+
 def _parse_rows(path: str):
     tk = 0
     ks = 0
@@ -84,24 +121,48 @@ def load_count_files(paths) -> tuple[list, np.ndarray, list[CountFile]]:
     """Load count files the way CompareCounts does.
 
     Returns (locus_ids, distinct[n_sites,2], [CountFile...]).
+
+    Fast path: the native parser (ntsm_tpu/native) reads the numeric
+    columns; when a file's locus column is byte-identical to the first
+    file's (the overwhelmingly common case — same site set, same order)
+    the arrays are used directly, otherwise rows are re-mapped by id
+    exactly like the reference's .at() lookups (CompareCounts.hpp:87-99).
     """
-    tk0, ks0, rows0 = _parse_rows(paths[0])
-    locus_ids = [r[0] for r in rows0]
-    index_of = {lid: i for i, lid in enumerate(locus_ids)}
-    distinct = np.array([[int(r[5]), int(r[6])] for r in rows0], dtype=np.int64)
-    n = len(locus_ids)
+    nat0 = _parse_native(paths[0])
+    index_of = None
+    if nat0 is not None:
+        tk0, ks0, blob0, ints0 = nat0
+        locus_ids = blob0.decode("ascii").splitlines()
+        distinct = ints0[:, 4:6].copy()
+        n = len(locus_ids)
+    else:
+        tk0, ks0, rows0 = _parse_rows(paths[0])
+        locus_ids = [r[0] for r in rows0]
+        distinct = np.array(
+            [[int(r[5]), int(r[6])] for r in rows0], dtype=np.int64
+        )
+        n = len(locus_ids)
+        blob0 = None
 
     out = []
     for path in paths:
-        tk, ks, rows = _parse_rows(path)
-        mc = np.zeros((n, 2), dtype=np.int64)
-        sc = np.zeros((n, 2), dtype=np.int64)
-        for r in rows:
-            i = index_of[r[0]]  # unknown locus raises, like .at() would
-            mc[i, 0] = int(r[1])
-            mc[i, 1] = int(r[2])
-            sc[i, 0] = int(r[3])
-            sc[i, 1] = int(r[4])
+        nat = _parse_native(path) if nat0 is not None else None
+        if nat is not None and nat[2] == blob0:
+            tk, ks, _, ints = nat
+            mc = ints[:, 0:2].copy()
+            sc = ints[:, 2:4].copy()
+        else:
+            if index_of is None:
+                index_of = {lid: i for i, lid in enumerate(locus_ids)}
+            tk, ks, rows = _parse_rows(path)
+            mc = np.zeros((n, 2), dtype=np.int64)
+            sc = np.zeros((n, 2), dtype=np.int64)
+            for r in rows:
+                i = index_of[r[0]]  # unknown locus raises, like .at() would
+                mc[i, 0] = int(r[1])
+                mc[i, 1] = int(r[2])
+                sc[i, 0] = int(r[3])
+                sc[i, 1] = int(r[4])
         out.append(
             CountFile(
                 path=path,

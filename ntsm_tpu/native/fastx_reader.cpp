@@ -350,3 +350,80 @@ void ntsm_pack_batch(const uint8_t* codes, int B, int L, uint8_t* packed,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// counts.txt parser (the eval-side load: CompareCounts ctor,
+// src/CompareCounts.hpp:30-114).  Rows are "locusID \t 6 ints"; header
+// lines start with '#' ("#@TK\t<n>", "#@KS\t<k>", column header).
+// Returns the row count; -1 = malformed (caller falls back to Python).
+// ints is [cap, 6] int64; locus ids are written '\n'-joined into ids_out.
+// ---------------------------------------------------------------------------
+
+extern "C" long ntsm_parse_counts(const uint8_t* buf, long len, int64_t* ints,
+                                  long cap, uint8_t* ids_out, long ids_cap,
+                                  long* ids_len, long* tk, long* ks) {
+    *tk = 0;
+    *ks = 0;
+    long rows = 0;
+    long idw = 0;
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + len;
+    while (p < end) {
+        const uint8_t* nl =
+            static_cast<const uint8_t*>(memchr(p, '\n', end - p));
+        const uint8_t* e = nl ? nl : end;
+        if (e > p && e[-1] == '\r') --e;
+        if (e == p) {  // blank line
+            p = nl ? nl + 1 : end;
+            continue;
+        }
+        if (*p == '#') {
+            if (e - p > 5 && p[1] == '@' &&
+                ((p[2] == 'T' && p[3] == 'K') ||
+                 (p[2] == 'K' && p[3] == 'S')) &&
+                p[4] == '\t') {
+                long v = 0;
+                for (const uint8_t* q = p + 5; q < e; ++q) {
+                    if (*q < '0' || *q > '9') return -1;
+                    v = v * 10 + (*q - '0');
+                }
+                if (p[2] == 'T')
+                    *tk = v;
+                else
+                    *ks = v;
+            }
+            p = nl ? nl + 1 : end;
+            continue;
+        }
+        if (rows >= cap) return -1;
+        const uint8_t* tab =
+            static_cast<const uint8_t*>(memchr(p, '\t', e - p));
+        if (!tab) return -1;
+        long idlen = tab - p;
+        if (idw + idlen + 1 > ids_cap) return -1;
+        memcpy(ids_out + idw, p, idlen);
+        idw += idlen;
+        ids_out[idw++] = '\n';
+        const uint8_t* q = tab + 1;
+        for (int col = 0; col < 6; ++col) {
+            bool neg = false;
+            if (q < e && *q == '-') {
+                neg = true;
+                ++q;
+            }
+            if (q >= e || *q < '0' || *q > '9') return -1;
+            int64_t v = 0;
+            while (q < e && *q >= '0' && *q <= '9') v = v * 10 + (*q++ - '0');
+            ints[rows * 6 + col] = neg ? -v : v;
+            if (col < 5) {
+                if (q >= e || *q != '\t') return -1;
+                ++q;
+            }
+        }
+        if (q != e) return -1;  // trailing junk
+        ++rows;
+        p = nl ? nl + 1 : end;
+    }
+    *ids_len = idw;
+    return rows;
+}

@@ -1,0 +1,122 @@
+"""Eval benchmark: all-vs-all sample-pair scoring throughput.
+
+Generates N human-scale synthetic count files (96287 sites, ~30x
+coverage, realistic genotype structure incl. duplicate and related pairs),
+then measures end-to-end wall time (load + score + format) of:
+
+  * our TPU engine        (`ntsm eval -a`, compute_score_all_tpu)
+  * the reference C++     (`ntsmEval -a -t <T>`) if a binary is given
+
+Prints one JSON line per engine:
+  {"metric": "eval_pairs_per_s", "engine": ..., "n_samples": N,
+   "value": pairs/s, "wall_s": ...}
+
+Usage: python scripts/bench_eval.py [N] [--ref /tmp/ntsm_build/ntsmEval]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_SITES = 96287
+
+
+def make_count_files(outdir: str, n_samples: int, rng) -> list[str]:
+    from ntsm_tpu.io.countfile import format_counts
+
+    site_ids = [f"rs{100000+i}" for i in range(N_SITES)]
+    distinct = np.full((N_SITES, 2), 13, dtype=np.int64)
+    freq = rng.uniform(0.05, 0.95, size=N_SITES)
+
+    paths = []
+    base_geno = None
+    for s in range(n_samples):
+        if s == 1 and base_geno is not None:
+            geno = base_geno  # duplicate pair (sample swap)
+        else:
+            geno = (rng.random(N_SITES) < freq).astype(np.int8) + (
+                rng.random(N_SITES) < freq
+            ).astype(np.int8)
+            if s == 0:
+                base_geno = geno
+        cov = rng.uniform(25, 35)
+        lam = cov / 2.0
+        at = rng.poisson(lam * (2 - geno)).astype(np.int64)
+        cg = rng.poisson(lam * geno).astype(np.int64)
+        # sequencing-error cross-talk
+        at += rng.poisson(0.02 * lam, size=N_SITES)
+        cg += rng.poisson(0.02 * lam, size=N_SITES)
+        mx = np.stack([at, cg], axis=1)
+        sm = mx * 13
+        text = format_counts(
+            site_ids, mx, sm, distinct, int(mx.sum() * 37000), 19
+        )
+        p = os.path.join(outdir, f"s{s:04d}_counts.txt")
+        with open(p, "w") as fh:
+            fh.write(text)
+        paths.append(p)
+    return paths
+
+
+def main() -> None:
+    n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    ref_bin = None
+    if "--ref" in sys.argv:
+        ref_bin = sys.argv[sys.argv.index("--ref") + 1]
+
+    rng = np.random.default_rng(123)
+    tmp = tempfile.mkdtemp(prefix="ntsm_evalbench_")
+    t0 = time.perf_counter()
+    paths = make_count_files(tmp, n_samples, rng)
+    print(f"# generated {n_samples} count files in {time.perf_counter()-t0:.1f} s",
+          file=sys.stderr)
+    n_pairs = n_samples * (n_samples - 1) // 2
+
+    # --- our engine, end-to-end through the CLI code path ---
+    from ntsm_tpu.eval.model import load_count_data
+    from ntsm_tpu.eval.tpu import compute_score_all_tpu
+    from ntsm_tpu.options import Options
+
+    opts = Options(all=True)
+    t0 = time.perf_counter()
+    data = load_count_data(paths, opts)
+    t_load = time.perf_counter() - t0
+    out = open(os.path.join(tmp, "ours.tsv"), "w")
+    t1 = time.perf_counter()
+    compute_score_all_tpu(data, opts, out)
+    out.close()
+    t_score = time.perf_counter() - t1
+    wall = t_load + t_score
+    print(f"# ours: load {t_load:.1f} s, score+format {t_score:.1f} s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "eval_pairs_per_s", "engine": "tpu", "n_samples": n_samples,
+        "value": round(n_pairs / wall, 1), "wall_s": round(wall, 2),
+    }))
+
+    # --- reference ---
+    if ref_bin:
+        for t in sorted({1, os.cpu_count() or 1}):
+            t0 = time.perf_counter()
+            with open(os.path.join(tmp, f"ref_t{t}.tsv"), "wb") as fh:
+                subprocess.run([ref_bin, "-a", "-t", str(t), *paths],
+                               stdout=fh, stderr=subprocess.DEVNULL, check=True)
+            wall = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "eval_pairs_per_s", "engine": f"ref_t{t}",
+                "n_samples": n_samples, "value": round(n_pairs / wall, 1),
+                "wall_s": round(wall, 2),
+            }))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,8 @@ HELP = """Usage: ntsm count -s [FASTA] [OPTION]... [FILES...]
                          interrupted run resumes from it automatically.
       --checkpoint-every = INT
                          batches between snapshots [64].
+      --trace = STR      ntsm_tpu extension: write a jax.profiler trace of
+                         the device pipeline to this directory.
 """
 
 
@@ -58,6 +60,7 @@ def run(argv) -> int:
                 "engine=",
                 "checkpoint=",
                 "checkpoint-every=",
+                "trace=",
             ],
         )
     except getopt.GetoptError as e:
@@ -94,6 +97,8 @@ def run(argv) -> int:
             opts = opts.replace(checkpoint=val)
         elif flag == "--checkpoint-every":
             opts = opts.replace(checkpoint_every=int(val))
+        elif flag == "--trace":
+            opts = opts.replace(trace=val)
 
     die = False
     if opts.k > 32:

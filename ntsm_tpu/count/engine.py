@@ -187,6 +187,20 @@ def run_count_v3(
                 else:
                     total_hits += n_hits
 
+    import sys
+    import time as _time
+
+    # verbose progress (reference: every 1e6 reads at -v -v -v,
+    # FingerPrint.hpp:70-79); here per batch with throughput at -v -v
+    t_start = _time.monotonic()
+    next_read_mark = 1_000_000
+
+    trace_dir = getattr(opts, "trace", None)
+    trace_ctx = None
+    if trace_dir:
+        trace_ctx = jax.profiler.trace(trace_dir)
+        trace_ctx.__enter__()
+
     batch_idx = 0
     for batch in reader:
         batch_idx += 1
@@ -235,12 +249,28 @@ def run_count_v3(
                 total_bases=total_bases,
                 total_reads=total_reads,
             )
+        if opts.verbose > 2 and total_reads >= next_read_mark:
+            next_read_mark = (total_reads // 1_000_000 + 1) * 1_000_000
+            print(
+                f"Current Total: {total_reads} reads, {total_kmers} k-mers, "
+                f"{total_hits} total counts, and {total_bases} total bases ",
+                file=sys.stderr,
+            )
+        elif opts.verbose > 1:
+            el = _time.monotonic() - t_start
+            print(
+                f"batch {batch_idx}: {total_reads} reads, "
+                f"{total_bases} bases, {total_bases / el / 1e6:.1f} Mbase/s",
+                file=sys.stderr,
+            )
         if (
             config.fail_after_batches is not None
             and batch_idx - skip_batches >= config.fail_after_batches
         ):
             raise RuntimeError("ntsm: injected failure (fail_after_batches)")
     drain(len(pending))
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
     if check_term and not early:
         early = total_hits > max_counts
     if early:

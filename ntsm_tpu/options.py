@@ -77,6 +77,7 @@ class Options:
     segment_len: int = 256
     checkpoint: str | None = None  # restartable count snapshots (extension)
     checkpoint_every: int = 64  # batches between snapshots
+    trace: str | None = None  # jax.profiler trace directory (extension)
 
     def replace(self, **kw) -> "Options":
         return dataclasses.replace(self, **kw)

@@ -106,6 +106,22 @@ class CountData:
 
 
 def load_count_data(paths, opts: Options) -> CountData:
+    from ntsm_tpu.io.countfile import load_count_arrays
+
+    bulk = load_count_arrays(paths)
+    if bulk is not None:
+        locus_ids, distinct, mc, sc, tks, kss = bulk
+        return CountData(
+            filenames=list(paths),
+            locus_ids=locus_ids,
+            distinct=distinct,
+            max_counts=mc,
+            sum_counts=sc,
+            raw_total_kmers=tks,
+            ks=kss,
+            total_counts=mc.sum(axis=(1, 2)),
+        ).prepare(opts)
+
     locus_ids, distinct, files = load_count_files(paths)
     mc = np.stack([f.max_counts for f in files])
     sc = np.stack([f.sum_counts for f in files])

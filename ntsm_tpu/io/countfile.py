@@ -60,8 +60,14 @@ class CountFile:
     total_counts: int  # sum of max_counts (src/CompareCounts.hpp:104-106)
 
 
+_scratch: dict = {}
+
+
 def _parse_native(path: str):
-    """Native counts.txt parse: (tk, ks, ids_blob, ints[n,6]) or None."""
+    """Native counts.txt parse: (tk, ks, ids_blob, ints[n,6]) or None.
+
+    Scratch buffers are reused across files (first-touch page faults on
+    fresh multi-MB allocations dominated the per-file cost otherwise)."""
     from ntsm_tpu import native
 
     lib = native.load()
@@ -74,17 +80,21 @@ def _parse_native(path: str):
     with open(path, "rb") as fh:
         buf = fh.read()
     cap = buf.count(b"\n") + 2
-    ints = np.empty((cap, 6), dtype=np.int64)
-    ids = np.empty(len(buf) + cap + 16, dtype=np.uint8)
+    ints = _scratch.get("ints")
+    if ints is None or ints.shape[0] < cap:
+        ints = _scratch["ints"] = np.empty((cap, 6), dtype=np.int64)
+    idcap = len(buf) + cap + 16
+    ids = _scratch.get("ids")
+    if ids is None or ids.shape[0] < idcap:
+        ids = _scratch["ids"] = np.empty(idcap, dtype=np.uint8)
     ids_len = ctypes.c_long(0)
     tk = ctypes.c_long(0)
     ks = ctypes.c_long(0)
-    lib.ntsm_parse_counts.restype = ctypes.c_long
     n = lib.ntsm_parse_counts(
         buf,
         ctypes.c_long(len(buf)),
         ints.ctypes.data_as(ctypes.c_void_p),
-        ctypes.c_long(cap),
+        ctypes.c_long(ints.shape[0]),
         ids.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_long(ids.shape[0]),
         ctypes.byref(ids_len),
@@ -95,6 +105,51 @@ def _parse_native(path: str):
         return None
     blob = ids[: ids_len.value].tobytes()
     return tk.value, ks.value, blob, ints[:n]
+
+
+def load_count_arrays(paths):
+    """Bulk loader for the eval engines: fills preallocated
+    [N, L, 2] planes directly (np.stack over per-file arrays cost ~14 s
+    per 128 files on this host).
+
+    Returns (locus_ids, distinct, mc [N,L,2] i64, sc [N,L,2] i64,
+    tks [N] i64, ks [N] i64)."""
+    nat0 = _parse_native(paths[0])
+    if nat0 is None:
+        return None  # caller falls back to load_count_files
+    tk0, ks0, blob0, ints0 = nat0
+    locus_ids = blob0.decode("ascii").splitlines()
+    distinct = ints0[:, 4:6].copy()
+    n = len(locus_ids)
+    N = len(paths)
+    # int32: halves the memory traffic of everything downstream; counts
+    # are bounded by per-site read depth (<< 2^31)
+    mc = np.empty((N, n, 2), dtype=np.int32)
+    sc = np.empty((N, n, 2), dtype=np.int32)
+    tks = np.zeros(N, dtype=np.int64)
+    kss = np.zeros(N, dtype=np.int64)
+    index_of = None
+    for s, path in enumerate(paths):
+        nat = _parse_native(path) if s else nat0
+        if nat is not None and nat[2] == blob0:
+            tk, ks, _, ints = nat
+            mc[s] = ints[:, 0:2]
+            sc[s] = ints[:, 2:4]
+        else:
+            if index_of is None:
+                index_of = {lid: i for i, lid in enumerate(locus_ids)}
+            tk, ks, rows = _parse_rows(path)
+            mc[s] = 0
+            sc[s] = 0
+            for r in rows:
+                i = index_of[r[0]]
+                mc[s, i, 0] = int(r[1])
+                mc[s, i, 1] = int(r[2])
+                sc[s, i, 0] = int(r[3])
+                sc[s, i, 1] = int(r[4])
+        tks[s] = tk
+        kss[s] = ks
+    return locus_ids, distinct, mc, sc, tks, kss
 
 
 def _parse_rows(path: str):

@@ -149,11 +149,29 @@ def run_count_v3(
             c = merge_counts_across_devices(c)
         return np.asarray(c)[:n_kmers].astype(np.int64) + host_counts
 
-    reader = PrefetchReader(
-        BatchReader(
-            filenames, k=k, seglen=config.segment_len, batch=config.batch_reads
+    n_threads = min(getattr(opts, "threads", 1), len(filenames))
+    if n_threads > 1 and not config.checkpoint_path:
+        # thread-per-file-group fan-out (the reference's -t semantics,
+        # FingerPrint.hpp:47); checkpointing needs the deterministic
+        # single-stream order, so -t falls back to it there
+        from ntsm_tpu.io.fastx import ParallelFileReader
+
+        reader = ParallelFileReader(
+            filenames,
+            k=k,
+            seglen=config.segment_len,
+            batch=config.batch_reads,
+            threads=n_threads,
         )
-    )
+    else:
+        reader = PrefetchReader(
+            BatchReader(
+                filenames,
+                k=k,
+                seglen=config.segment_len,
+                batch=config.batch_reads,
+            )
+        )
     window = max(2, config.early_term_check_every)  # batches per diag drain
     pending: deque = deque()  # (diag device array, host codes for fallback)
 

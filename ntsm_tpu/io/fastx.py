@@ -179,6 +179,73 @@ def BatchReader(paths: Sequence[str], k: int, seglen: int = 256, batch: int = 16
     return PyBatchReader(paths, k=k, seglen=seglen, batch=batch)
 
 
+class ParallelFileReader:
+    """Thread-per-file-group batch reader.
+
+    The reference's only counting parallelism is one OpenMP thread per
+    input file (FingerPrint.hpp:47); this is the same idea for the host
+    pipeline: `threads` NativeBatchReaders each own a file subset and feed
+    one bounded queue.  Single-stream gzip decompression tops out at
+    ~130 Mbase/s/core, so multi-file gz inputs (the common
+    lane_1/lane_2/... layout) need the fan-out to keep a >130 Mbase/s
+    device fed.  Batch ORDER is nondeterministic across files, like the
+    reference's threaded reads; counts are order-invariant and -m early
+    termination is order-dependent there too.
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        k: int,
+        seglen: int = 256,
+        batch: int = 16384,
+        threads: int = 2,
+        depth: int = 4,
+    ):
+        self.groups = [list(paths[i::threads]) for i in range(threads)]
+        self.groups = [g for g in self.groups if g]
+        self.k = k
+        self.seglen = seglen
+        self.batch = batch
+        self.depth = depth
+
+    def __iter__(self) -> Iterator[ReadBatch]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        err: list[BaseException] = []
+
+        def produce(group):
+            try:
+                reader = BatchReader(
+                    group, k=self.k, seglen=self.seglen, batch=self.batch
+                )
+                for b in reader:
+                    q.put(b)
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        ts = [
+            threading.Thread(target=produce, args=(g,), daemon=True)
+            for g in self.groups
+        ]
+        for t in ts:
+            t.start()
+        done = 0
+        while done < len(ts):
+            item = q.get()
+            if item is sentinel:
+                done += 1
+                continue
+            yield item
+        if err:
+            raise err[0]
+
+
 class PrefetchReader:
     """Run any batch reader on a background thread with a bounded queue,
     overlapping host parse/encode with device compute — the working version

@@ -137,3 +137,59 @@ def test_prefetch_wrapper(rng, tmp_path):
     for (a, al, *_), (b, bl, *_) in zip(base, pre):
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(al, bl)
+
+
+def test_parallel_file_reader_same_multiset(rng, tmp_path):
+    """Batch order varies across file groups, but the multiset of segments
+    (and read/base totals) matches the sequential reader."""
+    from ntsm_tpu.io.fastx import ParallelFileReader
+
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"f{i}.fq")
+        _write_fastq(p, [_rand_seq(rng, int(n)) for n in rng.integers(30, 300, 20)])
+        paths.append(p)
+
+    def rows(reader):
+        out = []
+        nr = nb = 0
+        for b in reader:
+            nr += b.n_reads
+            nb += b.n_bases
+            for r in range(b.codes.shape[0]):
+                if b.lengths[r] > 0:
+                    out.append(bytes(b.codes[r, : b.lengths[r]]))
+        return sorted(out), nr, nb
+
+    seq_rows, nr1, nb1 = rows(PyBatchReader(paths, k=19, seglen=128, batch=8))
+    par_rows, nr2, nb2 = rows(
+        ParallelFileReader(paths, k=19, seglen=128, batch=8, threads=3)
+    )
+    assert seq_rows == par_rows
+    assert (nr1, nb1) == (nr2, nb2)
+
+
+def test_count_with_threads_matches_golden(rng, tmp_path):
+    from ntsm_tpu.count.engine import EngineConfig, run_count_v3
+    from ntsm_tpu.count.golden import count_files
+    from ntsm_tpu.io.sites import load_site_table
+    from ntsm_tpu.options import Options
+    from tests.synth import make_reads_fastq, make_site_fasta
+
+    sites_path = str(tmp_path / "sites.fa")
+    _, sites = make_site_fasta(rng, n_sites=12, path=sites_path)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"r{i}.fq.gz")
+        make_reads_fastq(rng, sites[i::4] if i < 4 else sites, coverage=4, path=p, gz=True)
+        paths.append(p)
+    table = load_site_table(sites_path, k=19, allow_dupes=False)
+    golden = count_files(table, paths)
+    res = run_count_v3(
+        table, paths, Options(threads=3), EngineConfig(batch_reads=32, segment_len=96)
+    )
+    import numpy as np
+
+    np.testing.assert_array_equal(res.counts, golden.counts)
+    assert res.total_kmers == golden.total_kmers
+    assert res.total_reads == golden.total_reads

@@ -70,10 +70,10 @@ def main() -> None:
     counts_w, diag = count_step_v3(
         packed, vbits, tab.fp, tab.keys, tab.vals, counts, **kw
     )
-    _ = np.asarray(jnp.stack([diag] * 8))
+    _ = np.asarray(jnp.stack([diag] * 16))
     _ = int(counts_w[0])
 
-    iters, drain = 24, 8
+    iters, drain = 32, 16
     pending = []
     t0 = time.perf_counter()
     for i in range(iters):

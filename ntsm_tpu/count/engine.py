@@ -172,7 +172,10 @@ def run_count_v3(
                 batch=config.batch_reads,
             )
         )
-    window = max(2, config.early_term_check_every)  # batches per diag drain
+    # drain window: one tunnel RTT (~33 ms) is paid per `window` drained
+    # batches; 8 amortizes it to ~0.5 ms/batch while keeping ≤16 batches
+    # (~67 MB of fallback codes) pending
+    window = max(2, config.early_term_check_every, 8)
     pending: deque = deque()  # (diag device array, host codes for fallback)
 
     def drain(n: int):

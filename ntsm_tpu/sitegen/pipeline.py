@@ -307,6 +307,14 @@ def generate_pca_rotation(
     from sklearn.decomposition import PCA
 
     dataset = pd.read_csv(f"{name}_matrix.tsv", sep="\t", header=0, index_col=0)
+    max_dims = min(dataset.shape)
+    if dims > max_dims:
+        print(
+            f"Warning: dims={dims} exceeds min(samples, sites)={max_dims}; "
+            f"training {max_dims} components",
+            file=err,
+        )
+        dims = max_dims
     pca = PCA(n_components=dims)
     reduced = pca.fit_transform(dataset.transpose())
     comp = pd.DataFrame(pca.components_.transpose())

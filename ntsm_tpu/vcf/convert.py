@@ -40,6 +40,10 @@ HOM1, HET, HOM2 = 0, 1, 2
 
 def _format_longdouble_g(x: np.longdouble, precision: int = 19) -> str:
     """printf %.19Lg for numpy longdouble."""
+    if np.isnan(x):
+        return "-nan" if np.signbit(x) else "nan"
+    if np.isinf(x):
+        return "-inf" if x < 0 else "inf"
     if x == 0:
         return "0"
     exp = int(np.floor(np.log10(abs(x))))
@@ -205,6 +209,11 @@ class VCFConverter:
         src/MultiCount.hpp:148-203)."""
         mx, _ = self.site_max_matrix()
         n = len(self.sample_ids)
+        if n == 0:
+            raise SystemExit(
+                "ntsm vcf: the VCF has no sample columns - the PCA training "
+                "matrix needs a multi-sample VCF (e.g. 1000 Genomes)"
+            )
         with open(prefix + "_matrix.tsv", "w") as out, open(
             prefix + "_center.txt", "w"
         ) as centerf:

@@ -40,6 +40,7 @@ class EngineConfig:
     checkpoint_path: str | None = None  # periodic restartable snapshots
     checkpoint_every: int = 64  # batches between snapshots
     fail_after_batches: int | None = None  # fault injection (tests)
+    dense: bool = True  # pack reads per row (separator + k-1 halo)
 
 
 def run_count_v3(
@@ -60,7 +61,11 @@ def run_count_v3(
     from collections import deque
 
     from ntsm_tpu.count.kernel_v2 import pack_batch_fast
-    from ntsm_tpu.count.kernel_v3 import build_table_v3, count_step_v3
+    from ntsm_tpu.count.kernel_v3 import (
+        count_step_v3,
+        fuse_packed,
+        table_v3_for,
+    )
     from ntsm_tpu.io.fastx import PrefetchReader
 
     config = config or EngineConfig(
@@ -71,7 +76,7 @@ def run_count_v3(
     )
     k = table.k
     n_kmers = table.n_kmers
-    tab = build_table_v3(table.kmer_hashes)
+    tab = table_v3_for(table)
     kw = dict(
         k=k,
         L=config.segment_len,
@@ -95,8 +100,11 @@ def run_count_v3(
             )
         sharded_step = make_sharded_count_step_v3(mesh, **kw)
 
-    sorted_hashes = np.sort(table.kmer_hashes)
-    sort_order = np.argsort(table.kmer_hashes, kind="stable")
+    sorted_hashes = getattr(table, "_sorted_hashes", None)
+    if sorted_hashes is None:
+        sorted_hashes = table._sorted_hashes = np.sort(table.kmer_hashes)
+        table._sort_order = np.argsort(table.kmer_hashes, kind="stable")
+    sort_order = table._sort_order
 
     if mesh is None:
         counts = jnp.zeros(n_kmers + 1, dtype=jnp.int32)
@@ -162,6 +170,7 @@ def run_count_v3(
             seglen=config.segment_len,
             batch=config.batch_reads,
             threads=n_threads,
+            dense=config.dense,
         )
     else:
         reader = PrefetchReader(
@@ -170,6 +179,7 @@ def run_count_v3(
                 k=k,
                 seglen=config.segment_len,
                 batch=config.batch_reads,
+                dense=config.dense,
             )
         )
     # drain window: one tunnel RTT (~33 ms) is paid per `window` drained
@@ -228,10 +238,12 @@ def run_count_v3(
         if batch_idx <= skip_batches:
             continue  # deterministic reader: parse-only skip on resume
         packed, vbits = pack_batch_fast(batch.codes)
+        fused = jnp.asarray(fuse_packed(packed, vbits))
+        q = config.segment_len // 4
         if mesh is None:
             counts, diag = count_step_v3(
-                jnp.asarray(packed),
-                jnp.asarray(vbits),
+                fused[:, :q],
+                fused[:, q:],
                 tab.fp,
                 tab.keys,
                 tab.vals,
@@ -240,8 +252,8 @@ def run_count_v3(
             )
         else:
             counts, diag = sharded_step(
-                jnp.asarray(packed),
-                jnp.asarray(vbits),
+                fused[:, :q],
+                fused[:, q:],
                 tab.fp,
                 tab.keys,
                 tab.vals,

@@ -41,7 +41,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ntsm_tpu.count.kernel_v2 import pack_batch, window_hashes_packed  # noqa: F401
+from ntsm_tpu.count.kernel_v2 import (  # noqa: F401
+    pack_batch,
+    window_hashes_packed,
+)
+
+
+def fuse_packed(packed: np.ndarray, vbits: np.ndarray) -> np.ndarray:
+    """One host->device transfer instead of two (each blocking RPC on the
+    tunnel costs ~20 ms): [B, L/4] codes ++ [B, L/8] validity."""
+    return np.concatenate([packed, vbits], axis=1)
+
+
+def split_fused(fused, L: int):
+    q = L // 4
+    return fused[:, :q], fused[:, q:]
 from ntsm_tpu.io.sites import EMPTY_KEY, LookupTable, build_lookup
 
 SLOTS_V3 = 8
@@ -92,6 +106,16 @@ class TableV3:
 
 def build_table_v3(hashes: np.ndarray) -> TableV3:
     return TableV3(build_lookup(hashes, slots=SLOTS_V3))
+
+
+def table_v3_for(site_table) -> TableV3:
+    """Memoized device table for a SiteTable (building the 4.2M-bucket
+    planes costs ~5 s on this host; engines may be called repeatedly)."""
+    tab = getattr(site_table, "_v3_table", None)
+    if tab is None:
+        tab = build_table_v3(site_table.kmer_hashes)
+        site_table._v3_table = tab
+    return tab
 
 
 def probe_and_count(

@@ -116,7 +116,14 @@ class NativeBatchReader:
     prefetch thread overlaps it with device compute.
     """
 
-    def __init__(self, paths: Sequence[str], k: int, seglen: int = 256, batch: int = 16384):
+    def __init__(
+        self,
+        paths: Sequence[str],
+        k: int,
+        seglen: int = 256,
+        batch: int = 16384,
+        dense: bool = False,
+    ):
         from ntsm_tpu import native
 
         if seglen <= k:
@@ -131,6 +138,7 @@ class NativeBatchReader:
         self.k = k
         self.seglen = seglen
         self.batch = batch
+        self.dense = dense
 
     def __iter__(self) -> Iterator[ReadBatch]:
         import ctypes
@@ -140,7 +148,9 @@ class NativeBatchReader:
         cpaths = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths]
         )
-        h = lib.ntsm_reader_open(cpaths, len(self.paths), self.k, L, B)
+        h = lib.ntsm_reader_open(
+            cpaths, len(self.paths), self.k, L, B, int(self.dense)
+        )
         try:
             while True:
                 codes = np.empty((B, L), dtype=np.uint8)
@@ -167,16 +177,28 @@ def _exists(path: str) -> bool:
     return os.path.exists(path)
 
 
-def BatchReader(paths: Sequence[str], k: int, seglen: int = 256, batch: int = 16384):
-    """Factory: the native C++ reader when available, else pure Python."""
+def BatchReader(
+    paths: Sequence[str],
+    k: int,
+    seglen: int = 256,
+    batch: int = 16384,
+    dense: bool = False,
+):
+    """Factory: the native C++ reader when available, else pure Python.
+
+    dense=True packs multiple reads per row with a 1-byte separator and a
+    k-1 halo across row boundaries (exact k-mer multiset; see the native
+    reader) — ~40% more useful windows per probe for 150 bp reads."""
     import os
 
     if not os.environ.get("NTSM_NO_NATIVE"):
         try:
-            return NativeBatchReader(paths, k=k, seglen=seglen, batch=batch)
+            return NativeBatchReader(
+                paths, k=k, seglen=seglen, batch=batch, dense=dense
+            )
         except (RuntimeError, OSError):
             pass
-    return PyBatchReader(paths, k=k, seglen=seglen, batch=batch)
+    return PyBatchReader(paths, k=k, seglen=seglen, batch=batch, dense=dense)
 
 
 class ParallelFileReader:
@@ -201,6 +223,7 @@ class ParallelFileReader:
         batch: int = 16384,
         threads: int = 2,
         depth: int = 4,
+        dense: bool = False,
     ):
         self.groups = [list(paths[i::threads]) for i in range(threads)]
         self.groups = [g for g in self.groups if g]
@@ -208,6 +231,7 @@ class ParallelFileReader:
         self.seglen = seglen
         self.batch = batch
         self.depth = depth
+        self.dense = dense
 
     def __iter__(self) -> Iterator[ReadBatch]:
         import queue
@@ -220,7 +244,11 @@ class ParallelFileReader:
         def produce(group):
             try:
                 reader = BatchReader(
-                    group, k=self.k, seglen=self.seglen, batch=self.batch
+                    group,
+                    k=self.k,
+                    seglen=self.seglen,
+                    batch=self.batch,
+                    dense=self.dense,
                 )
                 for b in reader:
                     q.put(b)
@@ -292,15 +320,93 @@ class PyBatchReader:
     arbitrary-length reads without any cross-segment state.
     """
 
-    def __init__(self, paths: Sequence[str], k: int, seglen: int = 256, batch: int = 16384):
+    def __init__(
+        self,
+        paths: Sequence[str],
+        k: int,
+        seglen: int = 256,
+        batch: int = 16384,
+        dense: bool = False,
+    ):
         if seglen <= k:
             raise ValueError("seglen must exceed k")
         self.paths = list(paths)
         self.k = k
         self.seglen = seglen
         self.batch = batch
+        self.dense = dense
+
+    def _iter_dense(self) -> Iterator[ReadBatch]:
+        """Dense packing, mirroring the native reader exactly: reads
+        concatenated per row with one separator byte; a read continues
+        across the row boundary with a k-1 halo."""
+        k, L, B = self.k, self.seglen, self.batch
+        codes = np.full((B, L), 4, dtype=np.uint8)
+        lengths = np.zeros(B, dtype=np.int32)
+        state = dict(row=0, col=0, n_reads=0, n_bases=0)
+        carry: list = [None, False]  # (remaining codes, cont)
+
+        def flush():
+            out = ReadBatch(
+                codes.copy(), lengths.copy(), state["n_reads"], state["n_bases"]
+            )
+            codes.fill(4)
+            lengths.fill(0)
+            state.update(row=0, col=0, n_reads=0, n_bases=0)
+            return out
+
+        def place(enc: np.ndarray, cont: bool) -> bool:
+            n = enc.shape[0]
+            start = 0
+            if not cont and state["col"] > 0:
+                state["col"] += 1  # separator byte (stays 4)
+            while True:
+                if state["col"] > L - k:
+                    state["row"] += 1
+                    state["col"] = 0
+                if state["row"] == B:
+                    carry[0] = enc[start:]
+                    carry[1] = cont or start > 0
+                    return False
+                m = min(L - state["col"], n - start)
+                r, c = state["row"], state["col"]
+                codes[r, c : c + m] = enc[start : start + m]
+                state["col"] = c + m
+                lengths[r] = state["col"]
+                if start + m >= n:
+                    return True
+                start += m - (k - 1)
+                state["row"] += 1
+                state["col"] = 0
+
+        def records():
+            for path in self.paths:
+                for rec in read_fastx(path):
+                    yield rec
+
+        it = records()
+        while True:
+            if carry[0] is not None:
+                enc, cont = carry
+                carry[0] = None
+                if not place(enc, cont):
+                    yield flush()
+                    continue
+            rec = next(it, None)
+            if rec is None:
+                break
+            enc = NT4_TABLE[np.frombuffer(rec.seq, dtype=np.uint8)]
+            state["n_reads"] += 1
+            state["n_bases"] += enc.shape[0]
+            if not place(enc, False):
+                yield flush()
+        if state["row"] > 0 or state["col"] > 0:
+            yield flush()
 
     def __iter__(self) -> Iterator[ReadBatch]:
+        if self.dense:
+            yield from self._iter_dense()
+            return
         k, L, B = self.k, self.seglen, self.batch
         stride = L - (k - 1)
         codes = np.full((B, L), 4, dtype=np.uint8)

@@ -73,6 +73,7 @@ def load():
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_int,
         ]
         lib.ntsm_reader_close.argtypes = [ctypes.c_void_p]
         lib.ntsm_reader_next_batch.restype = ctypes.c_int

@@ -180,6 +180,7 @@ struct Reader {
     bool file_open = false;
     bool fastq = false;
     int k, seglen, batch;
+    bool dense = false;            // pack multiple reads per row (see below)
     std::vector<uint8_t> seq;      // encoded current read
     std::vector<uint8_t> carry;    // encoded segments carried past a flush
     bool carry_cont = false;       // carry continues a read (its sub-k tail
@@ -255,12 +256,13 @@ struct Reader {
 extern "C" {
 
 void* ntsm_reader_open(const char** paths, int n_paths, int k, int seglen,
-                       int batch) {
+                       int batch, int dense) {
     auto* r = new Reader;
     for (int i = 0; i < n_paths; ++i) r->paths.emplace_back(paths[i]);
     r->k = k;
     r->seglen = seglen;
     r->batch = batch;
+    r->dense = dense != 0;
     return r;
 }
 
@@ -303,6 +305,62 @@ int ntsm_reader_next_batch(void* h, uint8_t* codes, int32_t* lengths,
             start += stride;
         }
     };
+
+    // --- dense mode: sequence packing with a k-1 halo -------------------
+    // One read per row wastes (L - readlen)/L of every probe on padding
+    // (41% for 150 bp reads at L=256).  Dense mode concatenates reads into
+    // rows with a single invalid byte between reads (any window crossing
+    // the junction contains it and is masked by the N-reset semantics,
+    // vendor/KseqHashIterator.hpp:106-107) and continues a read across the
+    // row boundary with a k-1 overlap, so the k-mer multiset is exactly
+    // preserved.  Utilization is ~1 - (k + sep)/L regardless of read
+    // length.
+    if (r->dense) {
+        int col = 0;
+        auto place = [&](const uint8_t* enc, long n, bool cont) -> bool {
+            long start = 0;
+            if (!cont) {
+                if (col > 0) ++col;  // separator byte (stays 4)
+            }
+            for (;;) {
+                if (col > L - k) {  // no room for even one window
+                    ++row;
+                    col = 0;
+                }
+                if (row == B) {
+                    r->carry.assign(enc + start, enc + n);
+                    r->carry_cont = cont || start > 0;
+                    return false;
+                }
+                long m = std::min<long>(L - col, n - start);
+                std::memcpy(codes + static_cast<size_t>(row) * L + col,
+                            enc + start, m);
+                col += static_cast<int>(m);
+                lengths[row] = col;
+                if (start + m >= n) return true;
+                start += m - (k - 1);
+                ++row;
+                col = 0;
+            }
+        };
+        if (!r->carry.empty()) {
+            std::vector<uint8_t> c;
+            c.swap(r->carry);
+            bool cont = r->carry_cont;
+            r->carry_cont = false;
+            if (!place(c.data(), static_cast<long>(c.size()), cont))
+                return B;
+        }
+        for (;;) {
+            if (!r->next_record()) break;
+            *n_reads += 1;
+            *n_bases += static_cast<long>(r->seq.size());
+            if (!place(r->seq.data(), static_cast<long>(r->seq.size()), false))
+                return B;
+        }
+        return row + (col > 0 ? 1 : 0);
+    }
+    // --- classic mode: one segment per row ------------------------------
 
     // resume a read interrupted by a batch boundary
     if (!r->carry.empty()) {

@@ -193,3 +193,58 @@ def test_count_with_threads_matches_golden(rng, tmp_path):
     np.testing.assert_array_equal(res.counts, golden.counts)
     assert res.total_kmers == golden.total_kmers
     assert res.total_reads == golden.total_reads
+
+
+def _assert_same_dense(paths, k=19, seglen=128, batch=16):
+    py = _batches(PyBatchReader(paths, k=k, seglen=seglen, batch=batch, dense=True))
+    nt = _batches(
+        NativeBatchReader(paths, k=k, seglen=seglen, batch=batch, dense=True)
+    )
+    assert len(py) == len(nt)
+    for (pc, pl, pr, pb), (nc, nl, nr, nb) in zip(py, nt):
+        np.testing.assert_array_equal(nc, pc)
+        np.testing.assert_array_equal(nl, pl)
+        assert nr == pr
+        assert nb == pb
+
+
+def test_dense_parity_fastq(rng, tmp_path):
+    fq = str(tmp_path / "a.fq")
+    _write_fastq(fq, [_rand_seq(rng, int(n)) for n in rng.integers(10, 400, 80)])
+    _assert_same_dense([fq])
+
+
+def test_dense_parity_long_reads_tiny_batch(rng, tmp_path):
+    fq = str(tmp_path / "long.fq")
+    _write_fastq(fq, [_rand_seq(rng, 2000, n_frac=0.02) for _ in range(6)])
+    _assert_same_dense([fq], seglen=96, batch=2)
+
+
+def test_dense_parity_mixed_files(rng, tmp_path):
+    fq = str(tmp_path / "a.fq")
+    gz = str(tmp_path / "b.fq.gz")
+    _write_fastq(fq, [_rand_seq(rng, int(n)) for n in rng.integers(25, 220, 30)])
+    _write_fastq(gz, [_rand_seq(rng, 80) for _ in range(10)], gz=True)
+    _assert_same_dense([fq, gz], seglen=160, batch=4)
+
+
+def test_dense_kmers_multiset_exact(rng, tmp_path):
+    """Dense packing must preserve the exact multiset of canonical k-mers
+    (separator + halo invariants)."""
+    from ntsm_tpu.core.kmers import canonical_hashes
+    from ntsm_tpu.io.fastx import read_fastx
+
+    fq = str(tmp_path / "a.fq")
+    _write_fastq(fq, [_rand_seq(rng, int(n), n_frac=0.03) for n in rng.integers(10, 500, 50)])
+    k = 19
+    expect = []
+    for rec in read_fastx(fq):
+        expect.extend(canonical_hashes(rec.seq, k).tolist())
+    got = []
+    for b in NativeBatchReader([fq], k=k, seglen=128, batch=8, dense=True):
+        for r in range(b.codes.shape[0]):
+            row = b.codes[r]
+            # decode row back to an ASCII-ish sequence for canonical_hashes
+            s = bytes(bytearray(b"ACGTN"[c] for c in row))
+            got.extend(canonical_hashes(s, k).tolist())
+    assert sorted(got) == sorted(expect)

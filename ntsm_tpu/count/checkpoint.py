@@ -25,14 +25,29 @@ import numpy as np
 SNAP_VERSION = 1
 
 
-def params_sig(filenames, k: int, seglen: int, batch_reads: int, n_kmers: int):
-    parts = [f"v{SNAP_VERSION}", f"k{k}", f"L{seglen}", f"B{batch_reads}", f"n{n_kmers}"]
+def params_sig(
+    filenames,
+    k: int,
+    seglen: int,
+    batch_reads: int,
+    n_kmers: int,
+    dense: bool = True,
+):
+    parts = [
+        f"v{SNAP_VERSION}",
+        f"k{k}",
+        f"L{seglen}",
+        f"B{batch_reads}",
+        f"n{n_kmers}",
+        f"d{int(dense)}",  # dense vs classic packing changes the cursor
+    ]
     for f in filenames:
         try:
-            size = os.path.getsize(f)
+            st = os.stat(f)
+            size, mtime = st.st_size, int(st.st_mtime)
         except OSError:
-            size = -1
-        parts.append(f"{os.path.abspath(f)}:{size}")
+            size, mtime = -1, -1
+        parts.append(f"{os.path.abspath(f)}:{size}:{mtime}")
     return "|".join(parts)
 
 

@@ -35,7 +35,7 @@ from ntsm_tpu.utils.formats import cpp_general
 class EngineConfig:
     batch_reads: int = 16384
     segment_len: int = 256
-    early_term_check_every: int = 4  # batches between host-side -m checks
+    early_term_check_every: int = 8  # batches between host-side -m checks
     cand_k: int | None = None  # v3 candidate width override (tests)
     checkpoint_path: str | None = None  # periodic restartable snapshots
     checkpoint_every: int = 64  # batches between snapshots
@@ -64,6 +64,7 @@ def run_count_v3(
     from ntsm_tpu.count.kernel_v3 import (
         count_step_v3,
         fuse_packed,
+        split_fused,
         table_v3_for,
     )
     from ntsm_tpu.io.fastx import PrefetchReader
@@ -131,7 +132,12 @@ def run_count_v3(
         from ntsm_tpu.count.checkpoint import load_snapshot, params_sig
 
         sig = params_sig(
-            filenames, k, config.segment_len, config.batch_reads, n_kmers
+            filenames,
+            k,
+            config.segment_len,
+            config.batch_reads,
+            n_kmers,
+            dense=config.dense,
         )
         snap = load_snapshot(config.checkpoint_path, sig)
         if snap is not None:
@@ -188,9 +194,9 @@ def run_count_v3(
             # (measured ~100 ms/batch of GIL/scheduler thrash)
             reader = PrefetchReader(reader)
     # drain window: one tunnel RTT (~33 ms) is paid per `window` drained
-    # batches; 8 amortizes it to ~0.5 ms/batch while keeping ≤16 batches
-    # (~67 MB of fallback codes) pending
-    window = max(2, config.early_term_check_every, 8)
+    # batches; the default of 8 amortizes it to ~0.5 ms/batch while keeping
+    # <=16 batches (~67 MB of fallback codes) pending
+    window = max(2, config.early_term_check_every)
     pending: deque = deque()  # (diag device array, host codes for fallback)
 
     def drain(n: int):
@@ -236,79 +242,76 @@ def run_count_v3(
     if trace_dir:
         trace_ctx = jax.profiler.trace(trace_dir)
         trace_ctx.__enter__()
+    # everything from here runs under try/finally: the profiler trace must
+    # flush and reader threads must unblock even on error/early exit
 
+    reader_it = iter(reader)
     batch_idx = 0
-    for batch in reader:
-        batch_idx += 1
-        if batch_idx <= skip_batches:
-            continue  # deterministic reader: parse-only skip on resume
-        packed, vbits = pack_batch_fast(batch.codes)
-        fused = jnp.asarray(fuse_packed(packed, vbits))
-        q = config.segment_len // 4
-        if mesh is None:
-            counts, diag = count_step_v3(
-                fused[:, :q],
-                fused[:, q:],
-                tab.fp,
-                tab.keys,
-                tab.vals,
-                counts,
-                **kw,
-            )
-        else:
-            counts, diag = sharded_step(
-                fused[:, :q],
-                fused[:, q:],
-                tab.fp,
-                tab.keys,
-                tab.vals,
-                counts,
-            )
-        total_bases += batch.n_bases
-        total_reads += batch.n_reads
-        pending.append((diag, batch.codes))
-        if len(pending) >= 2 * window:
-            # drain the older half; the newer half keeps the device busy
-            drain(window)
-            if check_term and total_hits > max_counts:
-                early = True
-                break
-        if config.checkpoint_path and batch_idx % config.checkpoint_every == 0:
-            from ntsm_tpu.count.checkpoint import save_snapshot
+    try:
+        for batch in reader_it:
+            batch_idx += 1
+            if batch_idx <= skip_batches:
+                continue  # deterministic reader: parse-only skip on resume
+            packed, vbits = pack_batch_fast(batch.codes)
+            fused = jnp.asarray(fuse_packed(packed, vbits))
+            pk, vb = split_fused(fused, config.segment_len)
+            if mesh is None:
+                counts, diag = count_step_v3(
+                    pk, vb, tab.fp, tab.keys, tab.vals, counts, **kw
+                )
+            else:
+                counts, diag = sharded_step(
+                    pk, vb, tab.fp, tab.keys, tab.vals, counts
+                )
+            total_bases += batch.n_bases
+            total_reads += batch.n_reads
+            pending.append((diag, batch.codes))
+            if len(pending) >= 2 * window:
+                # drain the older half; the newer half keeps the device busy
+                drain(window)
+                if check_term and total_hits > max_counts:
+                    early = True
+                    break
+            if config.checkpoint_path and batch_idx % config.checkpoint_every == 0:
+                from ntsm_tpu.count.checkpoint import save_snapshot
 
-            drain(len(pending))  # snapshot state = exactly batch_idx batches
-            save_snapshot(
-                config.checkpoint_path,
-                sig=sig,
-                n_batches=batch_idx,
-                counts=merged_counts_np(),
-                total_kmers=total_kmers,
-                total_hits=total_hits,
-                total_bases=total_bases,
-                total_reads=total_reads,
-            )
-        if opts.verbose > 2 and total_reads >= next_read_mark:
-            next_read_mark = (total_reads // 1_000_000 + 1) * 1_000_000
-            print(
-                f"Current Total: {total_reads} reads, {total_kmers} k-mers, "
-                f"{total_hits} total counts, and {total_bases} total bases ",
-                file=sys.stderr,
-            )
-        elif opts.verbose > 1:
-            el = _time.monotonic() - t_start
-            print(
-                f"batch {batch_idx}: {total_reads} reads, "
-                f"{total_bases} bases, {total_bases / el / 1e6:.1f} Mbase/s",
-                file=sys.stderr,
-            )
-        if (
-            config.fail_after_batches is not None
-            and batch_idx - skip_batches >= config.fail_after_batches
-        ):
-            raise RuntimeError("ntsm: injected failure (fail_after_batches)")
-    drain(len(pending))
-    if trace_ctx is not None:
-        trace_ctx.__exit__(None, None, None)
+                drain(len(pending))  # snapshot state = exactly batch_idx batches
+                save_snapshot(
+                    config.checkpoint_path,
+                    sig=sig,
+                    n_batches=batch_idx,
+                    counts=merged_counts_np(),
+                    total_kmers=total_kmers,
+                    total_hits=total_hits,
+                    total_bases=total_bases,
+                    total_reads=total_reads,
+                )
+            if opts.verbose > 2 and total_reads >= next_read_mark:
+                next_read_mark = (total_reads // 1_000_000 + 1) * 1_000_000
+                print(
+                    f"Current Total: {total_reads} reads, {total_kmers} k-mers, "
+                    f"{total_hits} total counts, and {total_bases} total bases ",
+                    file=sys.stderr,
+                )
+            elif opts.verbose > 1:
+                el = _time.monotonic() - t_start
+                print(
+                    f"batch {batch_idx}: {total_reads} reads, "
+                    f"{total_bases} bases, {total_bases / el / 1e6:.1f} Mbase/s",
+                    file=sys.stderr,
+                )
+            if (
+                config.fail_after_batches is not None
+                and batch_idx - skip_batches >= config.fail_after_batches
+            ):
+                raise RuntimeError("ntsm: injected failure (fail_after_batches)")
+        drain(len(pending))
+    finally:
+        if trace_ctx is not None:
+            trace_ctx.__exit__(None, None, None)
+        close = getattr(reader_it, "close", None)
+        if close is not None:
+            close()  # unblocks prefetch producers; closes native readers
     if check_term and not early:
         early = total_hits > max_counts
     if early:

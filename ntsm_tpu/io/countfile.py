@@ -112,8 +112,10 @@ def load_count_arrays(paths):
     [N, L, 2] planes directly (np.stack over per-file arrays cost ~14 s
     per 128 files on this host).
 
-    Returns (locus_ids, distinct, mc [N,L,2] i64, sc [N,L,2] i64,
-    tks [N] i64, ks [N] i64)."""
+    Returns (locus_ids, distinct, mc [N,L,2] i32, sc [N,L,2] i32,
+    tks [N] i64, ks [N] i64) — int32 planes (counts are bounded by per-site
+    read depth); a file with values outside int32 falls back to the exact
+    int64 path via load_count_files."""
     nat0 = _parse_native(paths[0])
     if nat0 is None:
         return None  # caller falls back to load_count_files
@@ -133,6 +135,8 @@ def load_count_arrays(paths):
         nat = _parse_native(path) if s else nat0
         if nat is not None and nat[2] == blob0:
             tk, ks, _, ints = nat
+            if ints[:, 0:4].max(initial=0) > np.iinfo(np.int32).max:
+                return None  # rare huge counts: use the int64 path
             mc[s] = ints[:, 0:2]
             sc[s] = ints[:, 2:4]
         else:
@@ -205,8 +209,11 @@ def load_count_files(paths) -> tuple[list, np.ndarray, list[CountFile]]:
         blob0 = None
 
     out = []
-    for path in paths:
-        nat = _parse_native(path) if nat0 is not None else None
+    for idx, path in enumerate(paths):
+        if nat0 is None:
+            nat = None
+        else:
+            nat = nat0 if idx == 0 else _parse_native(path)
         if nat is not None and nat[2] == blob0:
             tk, ks, _, ints = nat
             mc = ints[:, 0:2].copy()

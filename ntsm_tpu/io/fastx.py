@@ -164,6 +164,11 @@ class NativeBatchReader:
                     ctypes.byref(n_reads),
                     ctypes.byref(n_bases),
                 )
+                if rows < 0:
+                    raise RuntimeError(
+                        "native reader failed (bad file/format or IO error; "
+                        "see stderr)"
+                    )
                 if rows == 0:
                     return
                 yield ReadBatch(codes, lengths, n_reads.value, n_bases.value)
@@ -238,8 +243,18 @@ class ParallelFileReader:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         sentinel = object()
         err: list[BaseException] = []
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce(group):
             try:
@@ -251,11 +266,13 @@ class ParallelFileReader:
                     dense=self.dense,
                 )
                 for b in reader:
-                    q.put(b)
+                    if not _put(b):
+                        return  # consumer went away; reader closes via its
+                        # own finally when the for-loop unwinds
             except BaseException as e:
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         ts = [
             threading.Thread(target=produce, args=(g,), daemon=True)
@@ -264,14 +281,21 @@ class ParallelFileReader:
         for t in ts:
             t.start()
         done = 0
-        while done < len(ts):
-            item = q.get()
-            if item is sentinel:
-                done += 1
-                continue
-            yield item
-        if err:
-            raise err[0]
+        try:
+            while done < len(ts):
+                item = q.get()
+                if err:
+                    raise err[0]  # fail fast, not after all groups finish
+                if item is sentinel:
+                    done += 1
+                    continue
+                yield item
+            if err:
+                raise err[0]
+        finally:
+            stop.set()
+            for t in ts:
+                t.join(timeout=5)
 
 
 class PrefetchReader:
@@ -289,27 +313,44 @@ class PrefetchReader:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         sentinel = object()
         err: list[BaseException] = []
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for b in self.reader:
-                    q.put(b)
+                    if not _put(b):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # early exit (e.g. -m termination) must unblock the producer so
+            # the native reader handle is closed, not leaked
+            stop.set()
+            t.join(timeout=5)
 
 
 class PyBatchReader:

@@ -36,6 +36,7 @@ struct GzFile {
     z_stream zs{};
     bool gz = false;
     bool eof_ = false;
+    bool io_error = false;
     std::vector<uint8_t> in;
     size_t in_pos = 0, in_len = 0;
 
@@ -75,6 +76,10 @@ struct GzFile {
         while (produced < want) {
             if (zs.avail_in == 0 && fp && !std::feof(fp)) {
                 in_len = std::fread(in.data(), 1, CHUNK, fp);
+                if (in_len == 0 && std::ferror(fp)) {
+                    io_error = true;
+                    break;
+                }
                 zs.next_in = in.data();
                 zs.avail_in = static_cast<uInt>(in_len);
             }
@@ -126,6 +131,7 @@ struct LineReader {
         size_t got = f.read(buf.data() + len, buf.size() - len);
         len += got;
         if (got == 0) eof = true;
+        if (f.io_error) eof = true;
         return got > 0;
     }
 
@@ -179,6 +185,7 @@ struct Reader {
     LineReader lr;
     bool file_open = false;
     bool fastq = false;
+    bool error = false;  // open failure / bad format / IO error
     int k, seglen, batch;
     bool dense = false;            // pack multiple reads per row (see below)
     std::vector<uint8_t> seq;      // encoded current read
@@ -188,29 +195,45 @@ struct Reader {
 
     bool next_file() {
         while (path_idx < paths.size()) {
-            if (lr.open(paths[path_idx].c_str())) {
-                ++path_idx;
-                file_open = true;
-                int c = lr.peek();
-                fastq = (c == '@');
-                return true;
+            if (!lr.open(paths[path_idx].c_str())) {
+                std::fprintf(stderr, "ntsm: cannot open %s\n",
+                             paths[path_idx].c_str());
+                error = true;  // hard error (reference exits on gzopen fail)
+                return false;
             }
-            return false;  // open failure = hard error (like gzopen exit)
+            ++path_idx;
+            file_open = true;
+            int c = lr.peek();
+            if (c >= 0 && c != '@' && c != '>') {
+                std::fprintf(stderr, "ntsm: %s: not FASTA/FASTQ\n",
+                             paths[path_idx - 1].c_str());
+                error = true;
+                return false;
+            }
+            fastq = (c == '@');
+            return true;
         }
         return false;
     }
 
     // read next record's encoded sequence into `seq`; false at global EOF
     bool next_record() {
-        const uint8_t* line;
-        size_t n;
+        const uint8_t* line = nullptr;
+        size_t n = 0;
         for (;;) {
             if (!file_open) {
                 if (!next_file()) return false;
             }
+            if (lr.f.io_error) {
+                std::fprintf(stderr, "ntsm: %s: read error\n",
+                             paths[path_idx - 1].c_str());
+                error = true;
+                return false;
+            }
             if (fastq) {
                 // header
                 if (!lr.getline(&line, &n)) {
+                    if (lr.f.io_error) continue;  // re-enter the check above
                     lr.close();
                     file_open = false;
                     continue;
@@ -273,6 +296,8 @@ void ntsm_reader_close(void* h) { delete static_cast<Reader*>(h); }
 // into this batch (reference counts every byte incl. Ns,
 // src/FingerPrint.hpp:102).  Rows beyond the return value are all-4 /
 // length 0.  Returns 0 at end of input.
+// Returns rows filled, 0 at end of input, or -1 on a hard error (open
+// failure, wrong format, mid-stream IO error) after printing to stderr.
 int ntsm_reader_next_batch(void* h, uint8_t* codes, int32_t* lengths,
                            long* n_reads, long* n_bases) {
     auto* r = static_cast<Reader*>(h);
@@ -358,6 +383,7 @@ int ntsm_reader_next_batch(void* h, uint8_t* codes, int32_t* lengths,
             if (!place(r->seq.data(), static_cast<long>(r->seq.size()), false))
                 return B;
         }
+        if (r->error) return -1;
         return row + (col > 0 ? 1 : 0);
     }
     // --- classic mode: one segment per row ------------------------------
@@ -379,6 +405,7 @@ int ntsm_reader_next_batch(void* h, uint8_t* codes, int32_t* lengths,
         if (!emit(r->seq.data(), static_cast<long>(r->seq.size()), false))
             break;
     }
+    if (r->error) return -1;
     return row;
 }
 

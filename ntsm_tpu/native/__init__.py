@@ -91,6 +91,14 @@ def load():
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        if hasattr(lib, "ntsm_canonical_hashes"):
+            lib.ntsm_canonical_hashes.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_long,
+                ctypes.c_int,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
         if hasattr(lib, "ntsm_parse_counts"):
             lib.ntsm_parse_counts.restype = ctypes.c_long
             lib.ntsm_parse_counts.argtypes = [

@@ -512,3 +512,54 @@ extern "C" long ntsm_parse_counts(const uint8_t* buf, long len, int64_t* ints,
     *ids_len = idw;
     return rows;
 }
+
+// ---------------------------------------------------------------------------
+// Canonical k-mer hashing over a flat 2-bit code stream (the rolling
+// iterator of vendor/KseqHashIterator.hpp:95-139 as a batch function).
+// codes: n bytes of 0..3 (valid) / >=4 (invalid).  Writes one hash and a
+// validity flag per window position (n-k+1 of each).  Used by the host for
+// site-table construction and golden fallbacks; the numpy implementation
+// of the same semantics is the parity oracle (core/kmers.py).
+// ---------------------------------------------------------------------------
+
+static inline uint64_t ntsm_hash64(uint64_t key, uint64_t mask) {
+    key = (~key + (key << 21)) & mask;
+    key = key ^ (key >> 24);
+    key = ((key + (key << 3)) + (key << 8)) & mask;
+    key = key ^ (key >> 14);
+    key = ((key + (key << 2)) + (key << 4)) & mask;
+    key = key ^ (key >> 28);
+    key = (key + (key << 31)) & mask;
+    return key;
+}
+
+extern "C" void ntsm_canonical_hashes(const uint8_t* codes, long n, int k,
+                                      uint64_t* hashes, uint8_t* valid) {
+    const long w = n - k + 1;
+    if (w <= 0) return;
+    const uint64_t mask =
+        (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int shift = 2 * (k - 1);
+    uint64_t fw = 0, rv = 0;
+    int run = 0;  // consecutive valid bases ending at position i
+    for (long i = 0; i < n; ++i) {
+        uint8_t c = codes[i];
+        if (c < 4) {
+            fw = ((fw << 2) | c) & mask;
+            rv = (rv >> 2) | (static_cast<uint64_t>(3 - c) << shift);
+            if (run < k) ++run;
+        } else {
+            run = 0;
+        }
+        long pos = i - k + 1;
+        if (pos >= 0) {
+            if (run >= k) {
+                valid[pos] = 1;
+                hashes[pos] = ntsm_hash64(fw < rv ? fw : rv, mask);
+            } else {
+                valid[pos] = 0;
+                hashes[pos] = 0;
+            }
+        }
+    }
+}

@@ -56,15 +56,14 @@ def count_codes_batch(
     Used as the overflow fallback of the v2 device engine and in tests.
     Returns (hit_kmer_indices, n_valid_kmers).
     """
-    from ntsm_tpu.core.hash import hash64_np, kmer_mask
-    from ntsm_tpu.core.kmers import window_encodings
+    from ntsm_tpu.core.kmers import flat_window_hashes
 
     B, L = codes.shape
     arr = np.full((B, L + 1), 4, dtype=np.uint8)
     arr[:, :L] = codes
     flat = arr.ravel()
-    fw, rv, valid = window_encodings(flat, k)
-    h = hash64_np(np.minimum(fw, rv), kmer_mask(k))[valid]
+    hs, valid = flat_window_hashes(flat, k)
+    h = hs[valid]
     n = sorted_hashes.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.int64), int(h.shape[0])

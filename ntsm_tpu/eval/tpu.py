@@ -59,7 +59,6 @@ def _pad_sites(x: np.ndarray, c: int, value=0):
     return x
 
 
-@jax.jit
 def _two_sum(hi, lo, p):
     """Compensated (Knuth two-sum) f32-pair accumulation.
 
@@ -103,32 +102,13 @@ def _chunked_matmul_f64(lhs, rhs):
 
 
 def _make_joint_fn(min_cov: int):
+    mc = jnp.float32(min_cov)
+
     @jax.jit
     def joint_rows(ai, bi, vi, a, b, v):
-        """J (f64) for a row tile: ai/bi/vi [C, T, c]; a/b/v [C, N, c]."""
-        T = ai.shape[1]
-        N = a.shape[1]
-        mc = jnp.float32(min_cov)
-
-        def body(acc, xs):
-            aic, bic, vic, ac, bc, vc = xs
-            aa = aic[:, None, :] + ac[None, :, :]  # [T, N, c]
-            bb = bic[:, None, :] + bc[None, :, :]
-            m = vic[:, None, :] * vc[None, :, :]
-            pa = aa > mc
-            pb = bb > mc
-            tot = jnp.maximum(aa + bb, 1.0)
-            jint = ((jnp.where(pa, aa, 0.0) + jnp.where(pb, bb, 0.0)) * m).sum(-1)
-            nf = pa.astype(jnp.float32) + pb.astype(jnp.float32)
-            jfrac = ((nf * (aa * bb) / tot) * m).sum(-1)
-            ih, il, fh, fl = acc
-            ih, il = _two_sum(ih, il, jint)
-            fh, fl = _two_sum(fh, fl, jfrac)
-            return (ih, il, fh, fl), None
-
-        z0 = jnp.zeros((T, N), jnp.float32)
-        acc, _ = jax.lax.scan(body, (z0, z0, z0, z0), (ai, bi, vi, a, b, v))
-        return acc
+        """Joint accumulators (f32 hi/lo pairs) for a row tile:
+        ai/bi/vi [C, T, c]; a/b/v [C, N, c]."""
+        return _joint_tiles(ai, bi, vi, a, b, v, mc)
 
     return joint_rows
 
@@ -186,11 +166,157 @@ def _planes_and_tallies(a, b, mc, *, chunk: int):
     return tallies, s1, a_t, b_t, v_t
 
 
-def compute_pair_stats_tpu(data: CountData, opts: Options) -> dict:
-    """All [N, N] pairwise statistics on device."""
+def _make_sharded_stats(mesh, *, min_cov: float, chunk: int):
+    """Sample-row-sharded pairwise statistics over a 1-D data mesh.
+
+    Each device holds an [N/D, Lp] row block of the count planes,
+    all_gathers the full planes (0.4 MB/sample - SURVEY §5's layout), and
+    computes its row block of every [N, N] statistic: indicator-tally
+    matmuls, the s1 plane sums, and the joint likelihood pass.  Outputs are
+    row-sharded [N, N] arrays; no other collectives.
+    """
+    import functools as _ft
+
+    from ntsm_tpu.parallel.mesh import P, shard_map
+
+    mc = jnp.float32(min_cov)
+
+    @_ft.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=(
+            dict(
+                n=P("data"),
+                shared_hets=P("data"),
+                shared_homs=P("data"),
+                ibs0=P("data"),
+                hets1=P("data"),
+                homs1=P("data"),
+            ),
+            (P("data"),) * 4,
+            (P("data"),) * 4,
+        ),
+        check_rep=False,
+    )
+    def stats(a_l, b_l):
+        a = jax.lax.all_gather(a_l, "data", axis=0, tiled=True)
+        b = jax.lax.all_gather(b_l, "data", axis=0, tiled=True)
+
+        def planes(x, y):
+            px = x > mc
+            py = y > mc
+            het = (px & py).astype(jnp.float32)
+            hom_at = (px & ~py).astype(jnp.float32)
+            hom_cg = (~px & py).astype(jnp.float32)
+            vall = (px | py).astype(jnp.float32)
+            s_int = jnp.where(px, x, 0.0) + jnp.where(py, y, 0.0)
+            tot = jnp.maximum(x + y, 1.0)
+            s_frac = (
+                px.astype(jnp.float32) + py.astype(jnp.float32)
+            ) * (x * y) / tot
+            return het, hom_at, hom_cg, vall, s_int, s_frac
+
+        het_l, hat_l, hcg_l, val_l, sint_l, sfrac_l = planes(a_l, b_l)
+        het, hat, hcg, vall, _, _ = planes(a, b)
+        hom_l = hat_l + hcg_l
+        hom = hat + hcg
+
+        f32mm = lambda x, y: jnp.dot(
+            x, y.T, preferred_element_type=jnp.float32
+        )
+        tallies = dict(
+            n=f32mm(val_l, vall),
+            shared_hets=f32mm(het_l, het),
+            shared_homs=f32mm(hat_l, hat) + f32mm(hcg_l, hcg),
+            ibs0=f32mm(hat_l, hcg) + f32mm(hcg_l, hat),
+            hets1=f32mm(het_l, vall),
+            homs1=f32mm(hom_l, vall),
+        )
+
+        nl, Lp = a_l.shape
+        C = Lp // chunk
+        cl = (nl, C, chunk)
+        cf = (a.shape[0], C, chunk)
+        v_c = vall.reshape(cf)
+        si = _chunked_matmul_f64(sint_l.reshape(cl), v_c)
+        sf = _chunked_matmul_f64(sfrac_l.reshape(cl), v_c)
+
+        # joint pass: this device's rows against everyone
+        joint = _joint_tiles(
+            jnp.swapaxes(a_l.reshape(cl), 0, 1),
+            jnp.swapaxes(b_l.reshape(cl), 0, 1),
+            jnp.swapaxes(val_l.reshape(cl), 0, 1),
+            jnp.swapaxes(a.reshape(cf), 0, 1),
+            jnp.swapaxes(b.reshape(cf), 0, 1),
+            jnp.swapaxes(v_c, 0, 1),
+            mc,
+        )
+        return tallies, (si[0], si[1], sf[0], sf[1]), joint
+
+    return jax.jit(stats)
+
+
+def _joint_tiles(ai, bi, vi, a, b, v, mc):
+    """Joint likelihood accumulators for a row block (shared by the
+    sharded path): ai/bi/vi [C, T, c] vs full [C, N, c] -> 4x [T, N] f32."""
+    T = ai.shape[1]
+    N = a.shape[1]
+
+    def body(acc, xs):
+        aic, bic, vic, ac, bc, vc = xs
+        aa = aic[:, None, :] + ac[None, :, :]
+        bb = bic[:, None, :] + bc[None, :, :]
+        m = vic[:, None, :] * vc[None, :, :]
+        pa = aa > mc
+        pb = bb > mc
+        tot = jnp.maximum(aa + bb, 1.0)
+        jint = ((jnp.where(pa, aa, 0.0) + jnp.where(pb, bb, 0.0)) * m).sum(-1)
+        nf = pa.astype(jnp.float32) + pb.astype(jnp.float32)
+        jfrac = ((nf * (aa * bb) / tot) * m).sum(-1)
+        ih, il, fh, fl = acc
+        ih, il = _two_sum(ih, il, jint)
+        fh, fl = _two_sum(fh, fl, jfrac)
+        return (ih, il, fh, fl), None
+
+    z0 = jnp.zeros((T, N), jnp.float32)
+    acc, _ = jax.lax.scan(body, (z0, z0, z0, z0), (ai, bi, vi, a, b, v))
+    return acc
+
+
+def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
+    """All [N, N] pairwise statistics on device; with `mesh`, the sample
+    rows are sharded over the 1-D data mesh (each device scores its row
+    block against the all_gather'ed planes)."""
     N = data.n_samples
     a_np = _pad_sites(data.max_counts[:, :, 0].astype(np.float32), CHUNK)
     b_np = _pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK)
+
+    if mesh is not None:
+        D = mesh.devices.size
+        pad_n = (-N) % D
+        if pad_n:  # zero-count pad rows produce n=0 pairs, sliced off below
+            a_np = np.pad(a_np, ((0, pad_n), (0, 0)))
+            b_np = np.pad(b_np, ((0, pad_n), (0, 0)))
+        stats_fn = _make_sharded_stats(
+            mesh, min_cov=float(opts.min_cov), chunk=CHUNK
+        )
+        tallies_d, s1_d, joint_d = stats_fn(
+            jnp.asarray(a_np), jnp.asarray(b_np)
+        )
+        sl = np.s_[:N, :N]
+        tallies = {
+            k: np.asarray(v).astype(np.int64)[sl] for k, v in tallies_d.items()
+        }
+        si_hi, si_lo, sf_hi, sf_lo = (
+            np.asarray(x).astype(np.float64)[sl] for x in s1_d
+        )
+        s1 = (si_hi + si_lo) - (sf_hi + sf_lo)
+        ih, il, fh, fl = (
+            np.asarray(x).astype(np.float64)[sl] for x in joint_d
+        )
+        J = (ih + il) - (fh + fl)
+        return _finalize_stats(data, opts, tallies, s1, J)
 
     tallies_d, s1_d, a_d, b_d, v_t = _planes_and_tallies(
         jnp.asarray(a_np), jnp.asarray(b_np), jnp.float32(opts.min_cov),
@@ -218,6 +344,10 @@ def compute_pair_stats_tpu(data: CountData, opts: Options) -> dict:
         )
         J[r0:r1] = ((ih + il) - (fh + fl))[: r1 - r0]
 
+    return _finalize_stats(data, opts, tallies, s1, J)
+
+
+def _finalize_stats(data, opts, tallies, s1, J) -> dict:
     loglik = -2.0 * (J - s1 - s1.T)
     cov = data.cov
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -114,6 +114,39 @@ class VCFConverter:
         write[sample_sel] = existing == 0
         col[write] = value
 
+    def _parse_genotypes(self, tail: str, n: int) -> np.ndarray:
+        """[n] genotype codes from the tab-joined sample columns.
+
+        Fast path: every field is a 3-char phased genotype (the 1000
+        Genomes layout) — parsed as one byte array instead of a 3202-wide
+        Python loop (~300M iterations for the full cohort).  Reference
+        semantics: only the exact strings 0|0 / 0|1 / 1|0 / 1|1 classify;
+        anything else defaults to hom-ref (VCFConvert.hpp:139-148)."""
+        gts = np.zeros(n, dtype=np.int8)  # default hom1 (quirk)
+        raw = tail.encode("ascii", "replace")
+        if len(raw) == 4 * n - 1:
+            b = np.frombuffer(b"\t" + raw, dtype=np.uint8).reshape(n, 4)
+            ok = (
+                (b[:, 0] == 9)
+                & ((b[:, 1] == 48) | (b[:, 1] == 49))
+                & (b[:, 2] == 124)
+                & ((b[:, 3] == 48) | (b[:, 3] == 49))
+            )
+            a1 = b[:, 1] == 49
+            a2 = b[:, 3] == 49
+            gts[ok & ~a1 & ~a2] = HOM1
+            gts[ok & (a1 ^ a2)] = HET
+            gts[ok & a1 & a2] = HOM2
+            return gts
+        for s, g in enumerate(tail.split("\t")[:n]):
+            if g == "0|0":
+                gts[s] = HOM1
+            elif g in ("0|1", "1|0"):
+                gts[s] = HET
+            elif g == "1|1":
+                gts[s] = HOM2
+        return gts
+
     def count(self, vcf_path: str) -> None:
         opts = self.opts
         if opts.verbose > 1:
@@ -137,7 +170,7 @@ class VCFConverter:
             n = len(self.sample_ids)
             self.mat = np.zeros((n, self.table.n_kmers), dtype=np.uint8)
             for line in fh:
-                fields = line.rstrip("\n").split("\t")
+                fields = line.rstrip("\n").split("\t", 9)
                 if len(fields) < 10:
                     continue
                 chrom, pos_s, rsid, ref_col, alt = fields[:5]
@@ -148,14 +181,7 @@ class VCFConverter:
                 if len(alt) != 1:
                     continue
                 ref_win, var_win = self._window(chrom, int(pos_s), alt)
-                gts = np.zeros(n, dtype=np.int8)  # default hom1 (quirk)
-                for s, g in enumerate(fields[9 : 9 + n]):
-                    if g == "0|0":
-                        gts[s] = HOM1
-                    elif g in ("0|1", "1|0"):
-                        gts[s] = HET
-                    elif g == "1|1":
-                        gts[s] = HOM2
+                gts = self._parse_genotypes(fields[9], n)
                 hom1_sel = gts == HOM1
                 het_sel = gts == HET
                 hom2_sel = gts == HOM2

@@ -437,6 +437,12 @@ def run_count(
     if use_pallas:
         return run_count_v1(table, filenames, opts, config, use_pallas=True)
     if version == 3:
+        if mesh is None and jax.device_count() > 1:
+            # a pod slice (or the virtual CPU mesh): shard batches over
+            # all local devices automatically
+            from ntsm_tpu.parallel.mesh import data_mesh
+
+            mesh = data_mesh()
         return run_count_v3(table, filenames, opts, config, mesh=mesh)
     if version == 2:
         return run_count_v2(table, filenames, opts, config)

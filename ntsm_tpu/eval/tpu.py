@@ -358,9 +358,19 @@ def _finalize_stats(data, opts, tallies, s1, J) -> dict:
     return dict(score=score, **tallies)
 
 
+def _auto_mesh():
+    """All local devices as a 1-D data mesh when there are several
+    (a pod slice / the virtual CPU mesh); None on a single chip."""
+    if jax.device_count() > 1:
+        from ntsm_tpu.parallel.mesh import data_mesh
+
+        return data_mesh()
+    return None
+
+
 def compute_score_all_tpu(data: CountData, opts: Options, out) -> None:
     """All-vs-all output identical in layout to the exact engine."""
-    stats = compute_pair_stats_tpu(data, opts)
+    stats = compute_pair_stats_tpu(data, opts, mesh=_auto_mesh())
     out.write(HEADER)
     out.write("\n")
     score = stats["score"]

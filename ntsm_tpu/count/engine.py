@@ -199,11 +199,43 @@ def run_count_v3(
     window = max(2, config.early_term_check_every)
     pending: deque = deque()  # (diag device array, host codes for fallback)
 
+    # overflow retry: a site-dense batch (candidates > cand_k) is re-run
+    # on device with an 8x candidate budget before falling back to the
+    # exact host recount — amplicon-style input stays on the fast path.
+    RETRY_K = (
+        eff_cand_k * 8
+        if config.cand_k is not None  # tests pin both tiers via cand_k
+        else max(eff_cand_k * 8, 262144)
+    )
+
+    def device_retry(codes) -> bool:
+        """Re-run one batch with the big-K step; False if it overflowed
+        even RETRY_K (host recount needed).  Single-device only (a sharded
+        shard's rows are a plain batch here)."""
+        nonlocal total_hits, counts
+        if mesh is not None:
+            return False
+        p2, v2 = pack_batch_fast(codes)
+        f2 = jnp.asarray(fuse_packed(p2, v2))
+        pk2, vb2 = split_fused(f2, config.segment_len)
+        kw2 = dict(kw)
+        kw2["cand_k"] = RETRY_K
+        nonlocal_counts, diag2 = count_step_v3(
+            pk2, vb2, tab.fp, tab.keys, tab.vals, counts, **kw2
+        )
+        _, n_cand2, n_hits2 = (int(x) for x in np.asarray(diag2))
+        if n_cand2 > RETRY_K:
+            return False
+        counts = nonlocal_counts
+        total_hits += n_hits2
+        return True
+
     def drain(n: int):
         """Process the oldest n pending batches: one stacked diag fetch
         (one tunnel RTT), then per-batch accounting; a batch whose
         candidate count overflowed CAND_K contributed nothing on device
-        (the kernel zeroes its scatter) and is recounted exactly here."""
+        (the kernel zeroes its scatter) and is retried with a bigger
+        budget, then recounted exactly on the host if still too dense."""
         nonlocal total_kmers, total_hits
         n = min(n, len(pending))
         if n == 0:
@@ -218,9 +250,10 @@ def run_count_v3(
                 n_valid, n_cand, n_hits = (int(x) for x in dg[d])
                 total_kmers += n_valid
                 if n_cand > eff_cand_k:
-                    # this device shard contributed nothing on device;
-                    # recount exactly its row slice
                     rows = codes[d * shard_rows : (d + 1) * shard_rows]
+                    if dg.shape[0] == 1 and device_retry(rows):
+                        continue
+                    # too dense even for the retry budget: exact recount
                     hit_idx, _ = count_codes_batch(
                         rows, k, sorted_hashes, sort_order
                     )

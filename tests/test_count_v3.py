@@ -60,3 +60,19 @@ def test_v3_segmented_long_reads(rng, tmp_path):
     res = run_count_v3(table, [fq], Options(), cfg)
     np.testing.assert_array_equal(res.counts, golden.counts)
     assert res.total_kmers == golden.total_kmers
+
+
+def test_v3_overflow_device_retry_then_host(rng, tmp_path):
+    """Site-dense batches: first a device retry with 8x the candidate
+    budget, then the exact host recount if still too dense — both tiers
+    must stay golden-exact."""
+    table, fq = _world(rng, tmp_path, coverage=6)
+    golden = count_files(table, [fq])
+    # cand_k=8 -> retry budget 64: dense batches overflow the first tier,
+    # some fit in the retry, the rest recount on host
+    for ck in (8, 2):
+        cfg = EngineConfig(batch_reads=64, segment_len=128, cand_k=ck)
+        res = run_count_v3(table, [fq], Options(), cfg)
+        np.testing.assert_array_equal(res.counts, golden.counts)
+        assert res.total_hits == golden.total_hits
+        assert res.total_kmers == golden.total_kmers

@@ -146,7 +146,29 @@ def make_vcf_world(rng, ntsm_vcf):
     src/VCFConvert.hpp:42), so every insert is out of bounds (verified with
     ASan: SEGV at MultiCount.hpp:55).  The oracle build in /tmp is patched
     to size the matrix after the #CHROM header is parsed; these fixtures
-    therefore capture the reference's *intended* output."""
+    therefore capture the reference's *intended* output.
+
+    The exact oracle patch (applied to a COPY of the reference source):
+
+      * MultiCount.hpp, in the public section:
+            void resizeForSamples() {
+                m_matCounts = vector<uint8_t>(
+                    m_kmerToHash.size() * m_sampleIDs.size(), 0);
+            }
+      * VCFConvert.hpp, right after the #CHROM header parse (before the
+        'Starting multicount' verbose print):
+            m_counts.resizeForSamples(); // oracle patch
+
+    Build each tool with:
+      g++ -O2 -std=c++11 -fopenmp -I. -Isrc -Ivendor \
+          src/<tool>.cpp src/Options.cpp -lz -o <tool>
+    after writing a stub config.h defining PACKAGE_NAME/VERSION/
+    PACKAGE_VERSION/PACKAGE_STRING/PACKAGE_BUGREPORT/GIT_REVISION
+    (do NOT link vendor/kfunc.c into ntsmEval; it is already inlined).
+
+    Verified 2026-08-16: regenerating against freshly built binaries
+    reproduces every fixture byte-for-byte except the self-reported
+    Time/Memory stderr lines."""
     from tests.synth import random_genome
 
     w, k = 31, 19

@@ -26,6 +26,25 @@ import jax as _jax
 # 64-bit integer ops; all hot-path floating point stays explicitly f32.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: a fresh process pays 1-3 minutes to
+# compile the counting program through this platform's compile path; with
+# the cache a repeat CLI invocation runs in seconds.  An explicit
+# JAX_COMPILATION_CACHE_DIR (or NTSM_NO_COMPILE_CACHE=1) overrides this.
+import os as _os
+
+if not _os.environ.get("NTSM_NO_COMPILE_CACHE") and not _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR"
+):
+    _cache = _os.path.join(
+        _os.path.expanduser("~"), ".cache", "ntsm_tpu", "xla"
+    )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # read-only home etc: run without the cache
+
 __version__ = "0.1.0"
 
 from ntsm_tpu.options import Options  # noqa: E402,F401

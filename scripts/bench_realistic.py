@@ -4,7 +4,7 @@ Measures `run_count_v3` wall time (host read+pack+feed + device pipeline)
 on an N-Mbase synthetic 150bp FASTQ against a 96287-site / 2.5M-k-mer
 table, dense row packing on vs off.
 
-Usage: python scripts/bench_realistic.py [mbases]
+Usage: python scripts/bench_realistic.py [mbases] [readlen]
 """
 
 import os
@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     mbases = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    readlen = 150
+    readlen = int(sys.argv[2]) if len(sys.argv) > 2 else 150
     n_reads = mbases * 1_000_000 // readlen
     rng = np.random.default_rng(7)
 

@@ -1,0 +1,65 @@
+"""Randomized eval parity: TPU engine vs exact engine over random cohorts
+and flag combinations. Integer columns must be identical; scores within
+f32-accumulation error (measured worst 1.5e-5 abs over 30 trials)."""
+
+import io
+
+import numpy as np
+
+from ntsm_tpu.eval import exact
+from ntsm_tpu.eval.model import CountData
+from ntsm_tpu.eval.tpu import compute_score_all_tpu
+from ntsm_tpu.options import Options
+
+INT_COLS = {
+    "ibs0", "ibs2", "het1", "het2", "sharedHet", "hom1", "hom2",
+    "sharedHom", "n", "miss1", "miss2", "allHom1", "allHom2",
+    "allHet1", "allHet2", "same",
+}
+
+
+def test_eval_fuzz_tpu_vs_exact(rng):
+    from ntsm_tpu.eval.exact import HEADER
+
+    cols = HEADER.split("\t")
+    for trial in range(8):
+        trng = np.random.default_rng(rng.integers(0, 2**62) + trial)
+        N = int(trng.integers(2, 10))
+        L = int(trng.integers(5, 300))
+        mx = trng.poisson(trng.uniform(0.5, 30), size=(N, L, 2)).astype(np.int32)
+        mx[trng.random(mx.shape[:2]) < trng.uniform(0, 0.4)] = 0
+        if trng.integers(0, 2):
+            mx[1] = mx[0]  # duplicate pair
+        opts = Options(
+            all=True,
+            min_cov=int(trng.choice([0, 1, 2, 5])),
+            cov_skew=float(trng.choice([0.2, 0.0, 0.5])),
+            genome_size=float(trng.choice([6.2e9, 1e6])),
+        )
+        data = CountData(
+            filenames=[f"s{i}_counts.txt" for i in range(N)],
+            locus_ids=[f"rs{i}" for i in range(L)],
+            distinct=np.full((L, 2), 13, dtype=np.int64),
+            max_counts=mx,
+            sum_counts=mx * 13,
+            raw_total_kmers=trng.integers(1, 10**10, N),
+            ks=np.full(N, 19, dtype=np.int64),
+            total_counts=mx.sum(axis=(1, 2)).astype(np.int64),
+        ).prepare(opts)
+        b1, b2 = io.StringIO(), io.StringIO()
+        compute_score_all_tpu(data, opts, b1)
+        exact.compute_score_all(data, opts, b2)
+        r1 = b1.getvalue().splitlines()
+        r2 = b2.getvalue().splitlines()
+        assert len(r1) == len(r2)
+        for l1, l2 in zip(r1[1:], r2[1:]):
+            f1, f2 = l1.split("\t"), l2.split("\t")
+            for c, (x1, x2) in enumerate(zip(f1, f2)):
+                if x1 == x2:
+                    continue
+                name = cols[c]
+                assert name not in INT_COLS, (trial, name, x1, x2)
+                v1, v2 = float(x1), float(x2)
+                assert abs(v1 - v2) <= 1e-4 + 1e-3 * abs(v2), (
+                    trial, name, x1, x2,
+                )

@@ -113,8 +113,8 @@ def _make_joint_fn(min_cov: int):
     return joint_rows
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _planes_and_tallies(a, b, mc, *, chunk: int):
+@functools.partial(jax.jit, static_argnames=("chunk", "mc"))
+def _planes_and_tallies(a, b, *, mc: float, chunk: int):
     """Everything derivable from the two count planes, on device:
     genotype indicator tallies (exact f32 matmuls of 0/1 planes),
     the single-sample likelihood planes and their pair sums (s1), and the
@@ -160,10 +160,13 @@ def _planes_and_tallies(a, b, mc, *, chunk: int):
     sf_hi, sf_lo = _chunked_matmul_f64(s_frac.reshape(cshape), v_c)
     s1 = (si_hi, si_lo, sf_hi, sf_lo)
 
+    # exact integer part of the joint term, MXU-bound (see _joint_int_matmuls)
+    jint = _joint_int_matmuls(a, b, vall, a, b, vall, mc, chunk)
+
     a_t = jnp.swapaxes(a.reshape(cshape), 0, 1)  # [C, N, c]
     b_t = jnp.swapaxes(b.reshape(cshape), 0, 1)
     v_t = jnp.swapaxes(v_c, 0, 1)
-    return tallies, s1, a_t, b_t, v_t
+    return tallies, s1, jint, a_t, b_t, v_t
 
 
 def _make_sharded_stats(mesh, *, min_cov: float, chunk: int):
@@ -242,8 +245,12 @@ def _make_sharded_stats(mesh, *, min_cov: float, chunk: int):
         si = _chunked_matmul_f64(sint_l.reshape(cl), v_c)
         sf = _chunked_matmul_f64(sfrac_l.reshape(cl), v_c)
 
-        # joint pass: this device's rows against everyone
-        joint = _joint_tiles(
+        # joint pass: this device's rows against everyone — the exact
+        # integer part as matmuls, the fraction elementwise
+        ji = _joint_int_matmuls(
+            a_l, b_l, val_l, a, b, vall, float(min_cov), chunk
+        )
+        jf = _joint_tiles(
             jnp.swapaxes(a_l.reshape(cl), 0, 1),
             jnp.swapaxes(b_l.reshape(cl), 0, 1),
             jnp.swapaxes(val_l.reshape(cl), 0, 1),
@@ -252,14 +259,19 @@ def _make_sharded_stats(mesh, *, min_cov: float, chunk: int):
             jnp.swapaxes(v_c, 0, 1),
             mc,
         )
-        return tallies, (si[0], si[1], sf[0], sf[1]), joint
+        return tallies, (si[0], si[1], sf[0], sf[1]), (ji[0], ji[1], jf[0], jf[1])
 
     return jax.jit(stats)
 
 
 def _joint_tiles(ai, bi, vi, a, b, v, mc):
-    """Joint likelihood accumulators for a row block (shared by the
-    sharded path): ai/bi/vi [C, T, c] vs full [C, N, c] -> 4x [T, N] f32."""
+    """FRACTIONAL joint-likelihood accumulators for a row block:
+    ai/bi/vi [C, T, c] vs full [C, N, c] -> (hi, lo) [T, N] f32 pair.
+
+    The integer part of the joint term is NOT computed here — it
+    decomposes into indicator matmuls ([aa>mc]·aa = aa − Σ_{v≤mc} v·[aa=v])
+    evaluated exactly on the MXU by _joint_int_matmuls; only the
+    data-dependent fraction needs this O(N²·sites) elementwise pass."""
     T = ai.shape[1]
     N = a.shape[1]
 
@@ -271,17 +283,60 @@ def _joint_tiles(ai, bi, vi, a, b, v, mc):
         pa = aa > mc
         pb = bb > mc
         tot = jnp.maximum(aa + bb, 1.0)
-        jint = ((jnp.where(pa, aa, 0.0) + jnp.where(pb, bb, 0.0)) * m).sum(-1)
         nf = pa.astype(jnp.float32) + pb.astype(jnp.float32)
         jfrac = ((nf * (aa * bb) / tot) * m).sum(-1)
-        ih, il, fh, fl = acc
-        ih, il = _two_sum(ih, il, jint)
-        fh, fl = _two_sum(fh, fl, jfrac)
-        return (ih, il, fh, fl), None
+        fh, fl = acc
+        return _two_sum(fh, fl, jfrac), None
 
     z0 = jnp.zeros((T, N), jnp.float32)
-    acc, _ = jax.lax.scan(body, (z0, z0, z0, z0), (ai, bi, vi, a, b, v))
+    acc, _ = jax.lax.scan(body, (z0, z0), (ai, bi, vi, a, b, v))
     return acc
+
+
+def _joint_int_matmuls(a_l, b_l, v_l, a_f, b_f, v_f, mc: float, chunk: int):
+    """Exact integer part of the joint term via chunked matmuls, for a row
+    block against the full cohort: [T, Lp] local planes vs [N, Lp] full.
+
+    jint(i,j) = Σ_s m·([aa>mc]·aa + [bb>mc]·bb), aa = a_i+a_j. With integer
+    counts, [aa>mc]·aa = aa − Σ_{v=1..t} v·[aa==v] where t = floor(mc), and
+    [aa==v] = Σ_w [a_i==w]·[a_j==v−w] — all separable products, so each
+    term is one compensated chunked matmul; values are integers, so the
+    result is exact.  Returns (hi, lo) f32 pair [T, N]."""
+    T, Lp = a_l.shape
+    N = a_f.shape[0]
+    C = Lp // chunk
+    t = int(np.floor(mc))
+
+    def cm(x, y):
+        return _chunked_matmul_f64(
+            x.reshape(x.shape[0], C, chunk), y.reshape(y.shape[0], C, chunk)
+        )
+
+    def acc(h1, l1, h2, l2):
+        h, l = _two_sum(h1, l1, h2)
+        return _two_sum(h, l, l2)
+
+    # row terms Σ (a_i+b_i)·m and column terms Σ (a_j+b_j)·m
+    hi, lo = cm((a_l + b_l) * v_l, v_f)
+    hi, lo = acc(hi, lo, *cm(v_l, (a_f + b_f) * v_f))
+
+    # corrections: − Σ_{v=1..t} v·[aa==v]·m (and same for bb); the −v scale
+    # rides the indicator plane so per-chunk partials stay exact f32
+    for pl_l, pl_f in ((a_l, a_f), (b_l, b_f)):
+        eq_l = [
+            (pl_l == jnp.float32(w)).astype(jnp.float32) * v_l
+            for w in range(t + 1)
+        ]
+        eq_f = [
+            (pl_f == jnp.float32(w)).astype(jnp.float32) * v_f
+            for w in range(t + 1)
+        ]
+        for v in range(1, t + 1):
+            for w in range(0, v + 1):
+                hi, lo = acc(
+                    hi, lo, *cm(eq_l[w] * jnp.float32(-v), eq_f[v - w])
+                )
+    return hi, lo
 
 
 def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
@@ -318,13 +373,18 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
         J = (ih + il) - (fh + fl)
         return _finalize_stats(data, opts, tallies, s1, J)
 
-    tallies_d, s1_d, a_d, b_d, v_t = _planes_and_tallies(
-        jnp.asarray(a_np), jnp.asarray(b_np), jnp.float32(opts.min_cov),
+    tallies_d, s1_d, jint_d, a_d, b_d, v_t = _planes_and_tallies(
+        jnp.asarray(a_np),
+        jnp.asarray(b_np),
+        mc=float(opts.min_cov),
         chunk=CHUNK,
     )
     tallies = {k: np.asarray(v).astype(np.int64) for k, v in tallies_d.items()}
     si_hi, si_lo, sf_hi, sf_lo = (np.asarray(x).astype(np.float64) for x in s1_d)
     s1 = (si_hi + si_lo) - (sf_hi + sf_lo)
+    jint = np.asarray(jint_d[0]).astype(np.float64) + np.asarray(
+        jint_d[1]
+    ).astype(np.float64)
     joint_fn = _make_joint_fn(opts.min_cov)
     J = np.zeros((N, N), np.float64)
     pad_rows = (-N) % ROW_TILE
@@ -338,11 +398,11 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
             ai = jnp.pad(ai, padw)
             bi = jnp.pad(bi, padw)
             vi = jnp.pad(vi, padw)
-        ih, il, fh, fl = (
+        fh, fl = (
             np.asarray(x).astype(np.float64)
             for x in joint_fn(ai, bi, vi, a_d, b_d, v_t)
         )
-        J[r0:r1] = ((ih + il) - (fh + fl))[: r1 - r0]
+        J[r0:r1] = jint[r0:r1] - ((fh + fl)[: r1 - r0])
 
     return _finalize_stats(data, opts, tallies, s1, J)
 

@@ -49,8 +49,8 @@ def count(
     table: SiteTable,
     fastx_files,
     *,
-    max_cov: float = float("inf"),
-    threads: int = 1,
+    max_cov: float | None = None,
+    threads: int | None = None,
     checkpoint: str | None = None,
     engine: str = "tpu",
     opts: Options | None = None,
@@ -58,10 +58,15 @@ def count(
     """Count site k-mers in FASTA/FASTQ(.gz) reads (= ntsmCount).
 
     engine: "tpu" (default; auto-shards over all local devices) or
-    "golden" (pure NumPy oracle)."""
-    opts = opts or Options(
-        cov_thresh=max_cov, threads=threads, checkpoint=checkpoint
-    )
+    "golden" (pure NumPy oracle).  Keyword conveniences are applied on top
+    of `opts` when both are given."""
+    opts = opts or Options()
+    if max_cov is not None:
+        opts = opts.replace(cov_thresh=max_cov)
+    if threads is not None:
+        opts = opts.replace(threads=threads)
+    if checkpoint is not None:
+        opts = opts.replace(checkpoint=checkpoint)
     if engine == "golden":
         from ntsm_tpu.count.golden import count_files
 
@@ -111,6 +116,8 @@ def evaluate(
         vals = line.split("\t")
         row = dict(zip(cols, vals))
         for key in row:
+            if key in ("sample1", "sample2"):
+                continue  # filenames stay strings even if numeric
             try:
                 row[key] = int(row[key])
             except ValueError:

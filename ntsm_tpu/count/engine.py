@@ -472,10 +472,15 @@ def run_count(
     if version == 3:
         if mesh is None and jax.device_count() > 1:
             # a pod slice (or the virtual CPU mesh): shard batches over
-            # all local devices automatically
-            from ntsm_tpu.parallel.mesh import data_mesh
+            # all local devices automatically — unless the batch size
+            # doesn't divide the device count (then stay single-device
+            # rather than erroring on a previously-valid config)
+            batch = (config.batch_reads if config is not None
+                     else opts.batch_reads)
+            if batch % jax.device_count() == 0:
+                from ntsm_tpu.parallel.mesh import data_mesh
 
-            mesh = data_mesh()
+                mesh = data_mesh()
         return run_count_v3(table, filenames, opts, config, mesh=mesh)
     if version == 2:
         return run_count_v2(table, filenames, opts, config)

@@ -113,6 +113,38 @@ def _make_joint_fn(min_cov: int):
     return joint_rows
 
 
+def _genotype_planes(x, y, mc):
+    """Indicator planes + single-sample likelihood planes from two count
+    planes — the parity-critical construction (calcHomHetMiss +
+    computeSumLogPSingle, CompareCounts.hpp:742-768,968-991), shared by
+    the single-device and mesh-sharded engines."""
+    px = x > mc
+    py = y > mc
+    het = (px & py).astype(jnp.float32)
+    hom_at = (px & ~py).astype(jnp.float32)
+    hom_cg = (~px & py).astype(jnp.float32)
+    vall = (px | py).astype(jnp.float32)
+    s_int = jnp.where(px, x, 0.0) + jnp.where(py, y, 0.0)
+    tot = jnp.maximum(x + y, 1.0)
+    s_frac = (px.astype(jnp.float32) + py.astype(jnp.float32)) * (x * y) / tot
+    return het, hom_at, hom_cg, vall, s_int, s_frac
+
+
+def _tally_matmuls(het_l, hom_at_l, hom_cg_l, vall_l, het, hom_at, hom_cg, vall):
+    """The six [rows, N] indicator tallies (exact 0/1 f32 matmuls)."""
+    f32mm = lambda x, y: jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+    hom_l = hom_at_l + hom_cg_l
+    hom = hom_at + hom_cg
+    return dict(
+        n=f32mm(vall_l, vall),
+        shared_hets=f32mm(het_l, het),
+        shared_homs=f32mm(hom_at_l, hom_at) + f32mm(hom_cg_l, hom_cg),
+        ibs0=f32mm(hom_at_l, hom_cg) + f32mm(hom_cg_l, hom_at),
+        hets1=f32mm(het_l, vall),
+        homs1=f32mm(hom_l, vall),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "mc"))
 def _planes_and_tallies(a, b, *, mc: float, chunk: int):
     """Everything derivable from the two count planes, on device:
@@ -126,33 +158,14 @@ def _planes_and_tallies(a, b, *, mc: float, chunk: int):
     """
     N, Lp = a.shape
     C = Lp // chunk
-    pa = a > mc
-    pb = b > mc
-    het = (pa & pb).astype(jnp.float32)
-    hom_at = (pa & ~pb).astype(jnp.float32)
-    hom_cg = (~pa & pb).astype(jnp.float32)
-    vall = (pa | pb).astype(jnp.float32)
-    hom = hom_at + hom_cg
-
     # indicator matmuls: inputs are exactly 0/1, so even the TPU's default
     # bf16 matmul passes are error-free; sums stay exact integers in f32
-    # while below 2^24 (n_sites << 2^24).
-    f32mm = lambda x, y: jnp.dot(x, y.T, preferred_element_type=jnp.float32)
-    tallies = dict(
-        n=f32mm(vall, vall),
-        shared_hets=f32mm(het, het),
-        shared_homs=f32mm(hom_at, hom_at) + f32mm(hom_cg, hom_cg),
-        ibs0=f32mm(hom_at, hom_cg) + f32mm(hom_cg, hom_at),
-        hets1=f32mm(het, vall),
-        homs1=f32mm(hom, vall),
+    # while below 2^24 (n_sites << 2^24).  Padded sites have a = b = 0 so
+    # both masks are false and contribute nothing.
+    het, hom_at, hom_cg, vall, s_int, s_frac = _genotype_planes(a, b, mc)
+    tallies = _tally_matmuls(
+        het, hom_at, hom_cg, vall, het, hom_at, hom_cg, vall
     )
-
-    # single-sample per-site terms (computeSumLogPSingle,
-    # CompareCounts.hpp:968-991), decomposed int/frac; padded sites have
-    # a = b = 0 so both masks are false and they contribute nothing.
-    s_int = jnp.where(pa, a, 0.0) + jnp.where(pb, b, 0.0)
-    tot = jnp.maximum(a + b, 1.0)
-    s_frac = (pa.astype(jnp.float32) + pb.astype(jnp.float32)) * (a * b) / tot
 
     cshape = (N, C, chunk)
     v_c = vall.reshape(cshape)
@@ -206,36 +219,11 @@ def _make_sharded_stats(mesh, *, min_cov: float, chunk: int):
         a = jax.lax.all_gather(a_l, "data", axis=0, tiled=True)
         b = jax.lax.all_gather(b_l, "data", axis=0, tiled=True)
 
-        def planes(x, y):
-            px = x > mc
-            py = y > mc
-            het = (px & py).astype(jnp.float32)
-            hom_at = (px & ~py).astype(jnp.float32)
-            hom_cg = (~px & py).astype(jnp.float32)
-            vall = (px | py).astype(jnp.float32)
-            s_int = jnp.where(px, x, 0.0) + jnp.where(py, y, 0.0)
-            tot = jnp.maximum(x + y, 1.0)
-            s_frac = (
-                px.astype(jnp.float32) + py.astype(jnp.float32)
-            ) * (x * y) / tot
-            return het, hom_at, hom_cg, vall, s_int, s_frac
-
-        het_l, hat_l, hcg_l, val_l, sint_l, sfrac_l = planes(a_l, b_l)
-        het, hat, hcg, vall, _, _ = planes(a, b)
-        hom_l = hat_l + hcg_l
-        hom = hat + hcg
-
-        f32mm = lambda x, y: jnp.dot(
-            x, y.T, preferred_element_type=jnp.float32
+        het_l, hat_l, hcg_l, val_l, sint_l, sfrac_l = _genotype_planes(
+            a_l, b_l, mc
         )
-        tallies = dict(
-            n=f32mm(val_l, vall),
-            shared_hets=f32mm(het_l, het),
-            shared_homs=f32mm(hat_l, hat) + f32mm(hcg_l, hcg),
-            ibs0=f32mm(hat_l, hcg) + f32mm(hcg_l, hat),
-            hets1=f32mm(het_l, vall),
-            homs1=f32mm(hom_l, vall),
-        )
+        het, hat, hcg, vall, _, _ = _genotype_planes(a, b, mc)
+        tallies = _tally_matmuls(het_l, hat_l, hcg_l, val_l, het, hat, hcg, vall)
 
         nl, Lp = a_l.shape
         C = Lp // chunk

@@ -41,7 +41,7 @@ def init_distributed(
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and num_processes is None and process_id is None:
         # TPU pods self-configure via the metadata server; elsewhere,
         # single-process mode needs no initialization.
         try:

@@ -126,9 +126,18 @@ class VCFConverter:
         raw = tail.encode("ascii", "replace")
         if len(raw) == 4 * n - 1:
             b = np.frombuffer(b"\t" + raw, dtype=np.uint8).reshape(n, 4)
+            if not (b[:, 0] == 9).all():
+                # mixed-width fields that happen to sum to 4n-1 (FORMAT
+                # subfields, haploid chrX calls): misaligned — use the
+                # exact per-field loop.  With n-1 tabs all landing on
+                # stride-4 positions, every field IS 3 chars, so this
+                # check makes the fast path exact.
+                b = None
+        else:
+            b = None
+        if b is not None:
             ok = (
-                (b[:, 0] == 9)
-                & ((b[:, 1] == 48) | (b[:, 1] == 49))
+                ((b[:, 1] == 48) | (b[:, 1] == 49))
                 & (b[:, 2] == 124)
                 & ((b[:, 3] == 48) | (b[:, 3] == 49))
             )

@@ -39,3 +39,21 @@ def test_api_round_trip(rng, tmp_path):
     api.merge_counts([ca, cb], merged)
     res_m = api.evaluate([merged, ca])
     assert len(res_m) == 1
+
+
+def test_api_conveniences(rng, tmp_path):
+    sites_path = str(tmp_path / "sites.fa")
+    _, sites = make_site_fasta(rng, n_sites=8, path=sites_path)
+    fq = str(tmp_path / "a.fq")
+    make_reads_fastq(rng, sites, coverage=6, genotype="het", path=fq)
+    table = api.load_sites(sites_path)
+    res = api.count(table, [fq], engine="golden")
+    cov = res.coverage(table)
+    assert cov > 0
+    err = res.error_rate(table, genome_size=1e5)
+    assert -1.0 <= err < 1.0
+    # kwargs apply on top of an explicit opts object
+    res2 = api.count(
+        table, [fq], max_cov=1.0, engine="golden", opts=api.Options()
+    )
+    assert res2.early_term

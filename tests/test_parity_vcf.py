@@ -64,3 +64,20 @@ def test_longdouble_format():
         == "0.1666666666666666667"
     )
     assert _format_longdouble_g(np.longdouble("0.5")) == "0.5"
+
+
+def test_genotype_fast_path_alignment_guard():
+    """Mixed-width genotype fields whose total width lands on 4n-1 must NOT
+    take the fast path (they'd misalign); reference semantics default them
+    to hom-ref unless the exact 3-char strings match."""
+    import numpy as np
+
+    from ntsm_tpu.io.sites import SiteTable
+    from ntsm_tpu.options import Options
+    from ntsm_tpu.vcf.convert import VCFConverter
+
+    conv = VCFConverter.__new__(VCFConverter)  # only _parse_genotypes needed
+    gts = conv._parse_genotypes("0|1:7\t1", 2)  # len 7 == 4*2-1
+    assert list(gts) == [0, 0]  # both default hom-ref (exact-match rule)
+    gts2 = conv._parse_genotypes("0|1\t1|1", 2)
+    assert list(gts2) == [1, 2]

@@ -46,7 +46,8 @@ from ntsm_tpu.eval.model import HET, HOM_AT, HOM_CG, UNKNOWN, CountData
 from ntsm_tpu.options import Options
 from ntsm_tpu.utils.formats import cpp_div
 
-CHUNK = 256  # sites per f32 partial sum
+CHUNK = 256  # sites per f32 partial sum (1024 was 15% faster at N=768
+# but 7% slower at N=3202; 256 is the stable choice)
 ROW_TILE = 64  # pair-block rows per joint-pass invocation
 
 

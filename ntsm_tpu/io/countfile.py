@@ -116,9 +116,47 @@ def load_count_arrays(paths):
     tks [N] i64, ks [N] i64) — int32 planes (counts are bounded by per-site
     read depth); a file with values outside int32 falls back to the exact
     int64 path via load_count_files."""
+    from ntsm_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "ntsm_parse_counts2"):
+        return None  # caller falls back to load_count_files
+    import ctypes
+
+    def parse_into(path, mc_row, sc_row, dist):
+        """Native parse straight into the final [n, 2] i32 slices.
+        Returns (rows, ids_blob, tk, ks) or None (malformed / overflow)."""
+        with open(path, "rb") as fh:
+            buf = fh.read()
+        cap = mc_row.shape[0]
+        idcap = len(buf) + 16
+        ids = _scratch.get("ids")
+        if ids is None or ids.shape[0] < idcap:
+            ids = _scratch["ids"] = np.empty(idcap + cap, dtype=np.uint8)
+        ids_len = ctypes.c_long(0)
+        tk = ctypes.c_long(0)
+        ks = ctypes.c_long(0)
+        rows = lib.ntsm_parse_counts2(
+            buf,
+            ctypes.c_long(len(buf)),
+            mc_row.ctypes.data_as(ctypes.c_void_p),
+            sc_row.ctypes.data_as(ctypes.c_void_p),
+            dist.ctypes.data_as(ctypes.c_void_p) if dist is not None else None,
+            ctypes.c_long(cap),
+            ids.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_long(ids.shape[0]),
+            ctypes.byref(ids_len),
+            ctypes.byref(tk),
+            ctypes.byref(ks),
+        )
+        if rows < 0:
+            return None
+        return rows, ids[: ids_len.value].tobytes(), tk.value, ks.value
+
+    # first file fixes locus order, row count and the distinct columns
     nat0 = _parse_native(paths[0])
     if nat0 is None:
-        return None  # caller falls back to load_count_files
+        return None
     tk0, ks0, blob0, ints0 = nat0
     locus_ids = blob0.decode("ascii").splitlines()
     distinct = ints0[:, 4:6].copy()
@@ -130,19 +168,23 @@ def load_count_arrays(paths):
     sc = np.empty((N, n, 2), dtype=np.int32)
     tks = np.zeros(N, dtype=np.int64)
     kss = np.zeros(N, dtype=np.int64)
+    tks[0] = tk0
+    kss[0] = ks0
+    if ints0[:, 0:4].max(initial=0) > np.iinfo(np.int32).max:
+        return None
+    mc[0] = ints0[:, 0:2]
+    sc[0] = ints0[:, 2:4]
     index_of = None
-    for s, path in enumerate(paths):
-        nat = _parse_native(path) if s else nat0
-        if nat is not None and nat[2] == blob0:
-            tk, ks, _, ints = nat
-            if ints[:, 0:4].max(initial=0) > np.iinfo(np.int32).max:
-                return None  # rare huge counts: use the int64 path
-            mc[s] = ints[:, 0:2]
-            sc[s] = ints[:, 2:4]
+    for s in range(1, N):
+        got = parse_into(paths[s], mc[s], sc[s], None)
+        if got is not None and got[0] == n and got[1] == blob0:
+            _, _, tks[s], kss[s] = got
         else:
+            # locus order differs / malformed / i32 overflow: exact
+            # id-mapped parse for this file
             if index_of is None:
                 index_of = {lid: i for i, lid in enumerate(locus_ids)}
-            tk, ks, rows = _parse_rows(path)
+            tk, ks, rows = _parse_rows(paths[s])
             mc[s] = 0
             sc[s] = 0
             for r in rows:
@@ -151,8 +193,8 @@ def load_count_arrays(paths):
                 mc[s, i, 1] = int(r[2])
                 sc[s, i, 0] = int(r[3])
                 sc[s, i, 1] = int(r[4])
-        tks[s] = tk
-        kss[s] = ks
+            tks[s] = tk
+            kss[s] = ks
     return locus_ids, distinct, mc, sc, tks, kss
 
 

@@ -99,6 +99,21 @@ def load():
                 ctypes.c_void_p,
                 ctypes.c_void_p,
             ]
+        if hasattr(lib, "ntsm_parse_counts2"):
+            lib.ntsm_parse_counts2.restype = ctypes.c_long
+            lib.ntsm_parse_counts2.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_long,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_long,
+                ctypes.c_void_p,
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_long),
+            ]
         if hasattr(lib, "ntsm_parse_counts"):
             lib.ntsm_parse_counts.restype = ctypes.c_long
             lib.ntsm_parse_counts.argtypes = [

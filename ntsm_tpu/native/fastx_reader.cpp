@@ -563,3 +563,90 @@ extern "C" void ntsm_canonical_hashes(const uint8_t* codes, long n, int k,
         }
     }
 }
+
+// Variant that writes the eval engine's final planes directly:
+// mc/sc are int32 [cap, 2] row-major buffers (the per-sample slices of the
+// [N, L, 2] arrays), dist is an optional int64 [cap, 2] (pass NULL to
+// skip).  Returns rows, or -1 on malformed input / int32 overflow.
+extern "C" long ntsm_parse_counts2(const uint8_t* buf, long len, int32_t* mc,
+                                   int32_t* sc, int64_t* dist, long cap,
+                                   uint8_t* ids_out, long ids_cap,
+                                   long* ids_len, long* tk, long* ks) {
+    *tk = 0;
+    *ks = 0;
+    long rows = 0;
+    long idw = 0;
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + len;
+    while (p < end) {
+        const uint8_t* nl =
+            static_cast<const uint8_t*>(memchr(p, '\n', end - p));
+        const uint8_t* e = nl ? nl : end;
+        if (e > p && e[-1] == '\r') --e;
+        if (e == p) {
+            p = nl ? nl + 1 : end;
+            continue;
+        }
+        if (*p == '#') {
+            if (e - p > 5 && p[1] == '@' &&
+                ((p[2] == 'T' && p[3] == 'K') ||
+                 (p[2] == 'K' && p[3] == 'S')) &&
+                p[4] == '\t') {
+                long v = 0;
+                for (const uint8_t* q = p + 5; q < e; ++q) {
+                    if (*q < '0' || *q > '9') return -1;
+                    v = v * 10 + (*q - '0');
+                }
+                if (p[2] == 'T')
+                    *tk = v;
+                else
+                    *ks = v;
+            }
+            p = nl ? nl + 1 : end;
+            continue;
+        }
+        if (rows >= cap) return -1;
+        const uint8_t* tab =
+            static_cast<const uint8_t*>(memchr(p, '\t', e - p));
+        if (!tab) return -1;
+        long idlen = tab - p;
+        if (idw + idlen + 1 > ids_cap) return -1;
+        memcpy(ids_out + idw, p, idlen);
+        idw += idlen;
+        ids_out[idw++] = '\n';
+        const uint8_t* q = tab + 1;
+        int64_t cols[6];
+        for (int col = 0; col < 6; ++col) {
+            bool neg = false;
+            if (q < e && *q == '-') {
+                neg = true;
+                ++q;
+            }
+            if (q >= e || *q < '0' || *q > '9') return -1;
+            int64_t v = 0;
+            while (q < e && *q >= '0' && *q <= '9') v = v * 10 + (*q++ - '0');
+            cols[col] = neg ? -v : v;
+            if (col < 5) {
+                if (q >= e || *q != '\t') return -1;
+                ++q;
+            }
+        }
+        if (q != e) return -1;
+        for (int col = 0; col < 4; ++col) {
+            if (cols[col] > 2147483647LL || cols[col] < -2147483648LL)
+                return -1;  // caller falls back to the int64 path
+        }
+        mc[rows * 2] = static_cast<int32_t>(cols[0]);
+        mc[rows * 2 + 1] = static_cast<int32_t>(cols[1]);
+        sc[rows * 2] = static_cast<int32_t>(cols[2]);
+        sc[rows * 2 + 1] = static_cast<int32_t>(cols[3]);
+        if (dist) {
+            dist[rows * 2] = cols[4];
+            dist[rows * 2 + 1] = cols[5];
+        }
+        ++rows;
+        p = nl ? nl + 1 : end;
+    }
+    *ids_len = idw;
+    return rows;
+}

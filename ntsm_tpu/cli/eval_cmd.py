@@ -149,7 +149,10 @@ def run(argv) -> int:
         return 1
 
     if opts.engine == "auto":
-        opts = opts.replace(engine="exact" if len(files) <= 128 else "tpu")
+        # exact (host f64, bit parity) runs at ~45 pairs/s on human-scale
+        # site sets; the device engine wins beyond ~30 samples now that
+        # the persistent compile cache makes warm starts the common case
+        opts = opts.replace(engine="exact" if len(files) <= 32 else "tpu")
 
     t0 = time.monotonic()
     from ntsm_tpu.eval.driver import run_eval

@@ -68,3 +68,20 @@ def test_eval_pca_without_norm(capsys, tmp_path):
         eval_cmd, ["-a", "-p", "rot.tsv", str(ok), str(b)], capsys
     )
     assert rc == 1
+
+
+def test_count_summary_file_flag(capsys, tmp_path, rng):
+    """-o writes the info summary to a file (FingerPrint.hpp:334-339)."""
+    sites = str(tmp_path / "s.fa")
+    _, site_list = make_site_fasta(rng, n_sites=4, path=sites)
+    fq = str(tmp_path / "r.fq")
+    make_reads_fastq(rng, site_list, coverage=3, path=fq)
+    out = tmp_path / "summary.txt"
+    rc = count_cmd.run(["--engine", "golden", "-o", str(out), "-s", sites, fq])
+    captured = capsys.readouterr()
+    assert rc in (0, None)
+    text = out.read_text()
+    assert "Total k-mers Considered:" in text
+    assert "Sites Covered by at least one k-mer:" in text
+    # stdout still carries the counts table
+    assert "#locusID" in captured.out

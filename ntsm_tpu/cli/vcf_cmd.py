@@ -97,6 +97,18 @@ def run(argv) -> int:
     if opts.k > 32:
         print("k cannot be greater than 32", file=sys.stderr)
         die = True
+    if not opts.snp:
+        # the reference has no explicit check and dies in MultiCount's
+        # site-FASTA gzopen (src/MultiCount.hpp:216); a clean CLI error
+        # beats replicating that crash
+        print("Error: Missing variants (-s) file", file=sys.stderr)
+        die = True
+    elif not os.path.exists(opts.snp):
+        print(
+            f"Error: Unable to load variants (-s) file {opts.snp}",
+            file=sys.stderr,
+        )
+        die = True
     if not files:
         print("Error: Need Input File", file=sys.stderr)
         die = True

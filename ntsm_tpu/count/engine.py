@@ -181,6 +181,14 @@ def run_count_v3(
     else:
         import os as _os
 
+        if n_threads > 1 and config.checkpoint_path:
+            import sys as _sys
+
+            print(
+                "ntsm count: --checkpoint requires the deterministic "
+                "single-stream reader; -t ignored",
+                file=_sys.stderr,
+            )
         reader = BatchReader(
             filenames,
             k=k,
@@ -303,6 +311,12 @@ def run_count_v3(
                 # drain the older half; the newer half keeps the device busy
                 drain(window)
                 if check_term and total_hits > max_counts:
+                    # drain the rest too: their scatters are already in the
+                    # device count vector, so totals (#@TK / Recorded) must
+                    # include them, and any overflowed batch still needs its
+                    # retry/host recount — otherwise counts and totals
+                    # disagree at the termination point
+                    drain(len(pending))
                     early = True
                     break
             if config.checkpoint_path and batch_idx % config.checkpoint_every == 0:

@@ -187,12 +187,18 @@ def load_count_arrays(paths):
             tk, ks, rows = _parse_rows(paths[s])
             mc[s] = 0
             sc[s] = 0
-            for r in rows:
-                i = index_of[r[0]]
-                mc[s, i, 0] = int(r[1])
-                mc[s, i, 1] = int(r[2])
-                sc[s, i, 0] = int(r[3])
-                sc[s, i, 1] = int(r[4])
+            try:
+                for r in rows:
+                    i = index_of[r[0]]
+                    mc[s, i, 0] = int(r[1])
+                    mc[s, i, 1] = int(r[2])
+                    sc[s, i, 0] = int(r[3])
+                    sc[s, i, 1] = int(r[4])
+            except OverflowError:
+                # count > 2^31-1 in a locus-reordered file: the int32 fast
+                # planes can't hold it; signal the caller to use the exact
+                # int64 load_count_files path instead
+                return None
             tks[s] = tk
             kss[s] = ks
     return locus_ids, distinct, mc, sc, tks, kss

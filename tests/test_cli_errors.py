@@ -6,7 +6,7 @@ import io
 import numpy as np
 import pytest
 
-from ntsm_tpu.cli import count_cmd, eval_cmd
+from ntsm_tpu.cli import count_cmd, eval_cmd, vcf_cmd
 from tests.synth import make_reads_fastq, make_site_fasta
 
 
@@ -68,6 +68,49 @@ def test_eval_pca_without_norm(capsys, tmp_path):
         eval_cmd, ["-a", "-p", "rot.tsv", str(ok), str(b)], capsys
     )
     assert rc == 1
+
+
+def test_vcf_missing_site_file(capsys, tmp_path):
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1\nACGT\n")
+    vcf = tmp_path / "a.vcf"
+    vcf.write_text("##fileformat=VCFv4.2\n")
+    rc, _, err = _run(vcf_cmd, ["-r", str(ref), str(vcf)], capsys)
+    assert rc == 1
+    assert "Missing variants (-s)" in err
+
+
+def test_vcf_nonexistent_site_file(capsys, tmp_path):
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1\nACGT\n")
+    vcf = tmp_path / "a.vcf"
+    vcf.write_text("##fileformat=VCFv4.2\n")
+    rc, _, err = _run(
+        vcf_cmd, ["-s", str(tmp_path / "nope.fa"), "-r", str(ref), str(vcf)],
+        capsys,
+    )
+    assert rc == 1
+    assert "Unable to load variants (-s)" in err
+
+
+def test_vcf_missing_ref(capsys, tmp_path, rng):
+    sites = str(tmp_path / "s.fa")
+    make_site_fasta(rng, n_sites=2, path=sites)
+    vcf = tmp_path / "a.vcf"
+    vcf.write_text("##fileformat=VCFv4.2\n")
+    rc, _, err = _run(vcf_cmd, ["-s", sites, str(vcf)], capsys)
+    assert rc == 1
+    assert "Unable to load reference file" in err
+
+
+def test_vcf_no_input(capsys, tmp_path, rng):
+    sites = str(tmp_path / "s.fa")
+    make_site_fasta(rng, n_sites=2, path=sites)
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1\nACGT\n")
+    rc, _, err = _run(vcf_cmd, ["-s", sites, "-r", str(ref)], capsys)
+    assert rc == 1
+    assert "Need Input File" in err
 
 
 def test_count_summary_file_flag(capsys, tmp_path, rng):

@@ -49,6 +49,32 @@ def test_v3_early_termination(rng, tmp_path):
     assert res.total_hits > table.n_kmers * 1.0 / 2
 
 
+def test_v3_early_termination_consistent_totals(rng, tmp_path):
+    """At the -m termination point the device count vector and the totals
+    must describe the same set of batches: every pending batch was already
+    scattered on device, so it must be drained (its n_valid/n_hits added,
+    overflows retried) before the engine stops — counts.sum() == total_hits
+    is the invariant that catches a skipped drain."""
+    table, fq = _world(rng, tmp_path, coverage=40)
+    cfg = EngineConfig(batch_reads=64, segment_len=128,
+                       early_term_check_every=2)
+    res = run_count_v3(table, [fq], Options(cov_thresh=1.0), cfg)
+    assert res.early_term
+    assert int(res.counts.sum()) == res.total_hits
+
+
+def test_v3_early_termination_with_overflow_pending(rng, tmp_path):
+    """A pending batch that overflowed the candidate budget contributed
+    nothing on device; on early termination it must still be retried or
+    host-recounted rather than silently dropped."""
+    table, fq = _world(rng, tmp_path, coverage=40)
+    cfg = EngineConfig(batch_reads=64, segment_len=128, cand_k=8,
+                       early_term_check_every=2)
+    res = run_count_v3(table, [fq], Options(cov_thresh=1.0), cfg)
+    assert res.early_term
+    assert int(res.counts.sum()) == res.total_hits
+
+
 def test_v3_segmented_long_reads(rng, tmp_path):
     sites_path = str(tmp_path / "sites.fa")
     _, sites = make_site_fasta(rng, n_sites=8, path=sites_path)

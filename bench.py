@@ -59,7 +59,7 @@ def main() -> None:
         k=k, L=256, n_buckets=tab.n_buckets, slots=tab.slots, bbits=tab.bbits
     )
 
-    B, L = 16384, 256  # ~4.2 Mbase per step (150-300bp reads segment to 256)
+    B, L = 32768, 256  # ~4.2 Mbase per step (150-300bp reads segment to 256)
     codes_np = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
     packed_np, vbits_np = pack_batch(codes_np)
     packed = jnp.asarray(packed_np)

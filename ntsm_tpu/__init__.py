@@ -30,13 +30,32 @@ _jax.config.update("jax_enable_x64", True)
 # compile the counting program through this platform's compile path; with
 # the cache a repeat CLI invocation runs in seconds.  An explicit
 # JAX_COMPILATION_CACHE_DIR (or NTSM_NO_COMPILE_CACHE=1) overrides this.
+#
+# The directory is keyed by a machine signature (arch + CPU feature flags):
+# XLA:CPU persists AOT results specialized to the compiling machine's
+# vector ISA, and loading them on a different machine warns (and can
+# SIGILL).  A per-signature directory makes a cache populated elsewhere
+# invisible here instead of a latent crash.
 import os as _os
 
 if not _os.environ.get("NTSM_NO_COMPILE_CACHE") and not _os.environ.get(
     "JAX_COMPILATION_CACHE_DIR"
 ):
+    import hashlib as _hashlib
+    import platform as _platform
+
+    _sig_src = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as _fh:
+            for _line in _fh:
+                if _line.startswith(("flags", "Features")):
+                    _sig_src += _line
+                    break
+    except OSError:
+        pass
+    _sig = _hashlib.sha1(_sig_src.encode()).hexdigest()[:12]
     _cache = _os.path.join(
-        _os.path.expanduser("~"), ".cache", "ntsm_tpu", "xla"
+        _os.path.expanduser("~"), ".cache", "ntsm_tpu", f"xla-{_sig}"
     )
     try:
         _os.makedirs(_cache, exist_ok=True)

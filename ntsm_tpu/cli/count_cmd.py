@@ -31,18 +31,29 @@ HELP = """Usage: ntsm count -s [FASTA] [OPTION]... [FILES...]
   -v, --verbose          Display verbose output.
       --version          Print version information.
       --engine = STR     ntsm_tpu extension: tpu (default), golden, pallas.
+                         pallas is EXPERIMENTAL: it routes through the v1
+                         engine to exercise the Mosaic hash kernel and is
+                         slower than the default (Mosaic has no table
+                         gather, so the probe stays in XLA).
       --checkpoint = STR ntsm_tpu extension: restartable snapshot file; an
                          interrupted run resumes from it automatically.
       --checkpoint-every = INT
                          batches between snapshots [64].
       --trace = STR      ntsm_tpu extension: write a jax.profiler trace of
                          the device pipeline to this directory.
+      --distributed      ntsm_tpu extension: multi-host mode. Initializes
+                         jax.distributed (from JAX_COORDINATOR_ADDRESS /
+                         JAX_NUM_PROCESSES / JAX_PROCESS_ID or pod
+                         autoconfig), shards the input files across hosts,
+                         psums the count vector, and prints from process 0
+                         only. NTSM_DISTRIBUTED=1 is equivalent.
 """
 
 
 def run(argv) -> int:
     opts = Options()
     engine = "tpu"
+    distributed = bool(os.environ.get("NTSM_DISTRIBUTED"))
     try:
         parsed, files = getopt.gnu_getopt(
             argv,
@@ -61,6 +72,7 @@ def run(argv) -> int:
                 "checkpoint=",
                 "checkpoint-every=",
                 "trace=",
+                "distributed",
             ],
         )
     except getopt.GetoptError as e:
@@ -99,6 +111,8 @@ def run(argv) -> int:
             opts = opts.replace(checkpoint_every=int(val))
         elif flag == "--trace":
             opts = opts.replace(trace=val)
+        elif flag == "--distributed":
+            distributed = True
 
     die = False
     if opts.k > 32:
@@ -123,18 +137,59 @@ def run(argv) -> int:
     from ntsm_tpu.io.countfile import format_counts
     from ntsm_tpu.io.sites import load_site_table
 
-    if opts.verbose:
-        print(f"Opening {opts.snp}", file=sys.stderr)
-    table = load_site_table(opts.snp, opts.k, allow_dupes=opts.dupes)
+    import contextlib
 
-    if engine == "golden":
-        from ntsm_tpu.count.golden import count_files
+    shield = contextlib.nullcontext()
+    my_files = files
+    if distributed:
+        from ntsm_tpu.parallel.distributed import (
+            host_file_shard,
+            init_distributed,
+            stdout_shield,
+        )
 
-        result = count_files(table, files, cov_thresh=opts.cov_thresh)
-        if result.early_term:
-            print("Reached desired (-m) threshold", file=sys.stderr)
-    else:
-        result = run_count(table, files, opts, use_pallas=(engine == "pallas"))
+        init_distributed()
+        import jax
+
+        # gloo CPU collectives print their connection banner to stdout;
+        # stdout is a byte-parity contract, so shield it for the whole
+        # compute phase (local-mesh merges spin up gloo contexts too)
+        shield = stdout_shield()
+        my_files = host_file_shard(files)
+        if opts.verbose:
+            print(
+                f"ntsm count: process {jax.process_index()}/"
+                f"{jax.process_count()} counting {len(my_files)}/"
+                f"{len(files)} files",
+                file=sys.stderr,
+            )
+
+    with shield:
+        if opts.verbose:
+            print(f"Opening {opts.snp}", file=sys.stderr)
+        table = load_site_table(opts.snp, opts.k, allow_dupes=opts.dupes)
+
+        if engine == "golden":
+            from ntsm_tpu.count.golden import count_files
+
+            result = count_files(table, my_files, cov_thresh=opts.cov_thresh)
+            if result.early_term:
+                print("Reached desired (-m) threshold", file=sys.stderr)
+        else:
+            result = run_count(
+                table, my_files, opts, use_pallas=(engine == "pallas")
+            )
+
+        if distributed:
+            from ntsm_tpu.parallel.distributed import merge_count_results
+
+            result = merge_count_results(result)
+
+    if distributed:
+        import jax
+
+        if jax.process_index() != 0:
+            return 0  # process 0 owns stdout/summary emission
 
     mx, sm = result.site_max_sum(table)
     sys.stdout.write(

@@ -44,11 +44,18 @@ If only a single file is provided general QC information returned.
   -v, --verbose              Display verbose output.
       --version              Print version information.
       --engine = STR         ntsm_tpu extension: auto (default), exact, tpu.
+      --distributed          ntsm_tpu extension: multi-host mode. Initializes
+                             jax.distributed; every process loads the count
+                             files and the pairwise statistics shard the
+                             sample rows over the global device mesh
+                             (in-kernel all_gather over ICI/DCN); process 0
+                             prints. NTSM_DISTRIBUTED=1 is equivalent.
 """
 
 
 def run(argv) -> int:
     opts = Options()
+    distributed = bool(os.environ.get("NTSM_DISTRIBUTED"))
     try:
         parsed, files = getopt.gnu_getopt(
             argv,
@@ -76,6 +83,7 @@ def run(argv) -> int:
                 "verbose",
                 "dim=",
                 "engine=",
+                "distributed",
             ],
         )
     except getopt.GetoptError as e:
@@ -132,6 +140,8 @@ def run(argv) -> int:
             opts = opts.replace(verbose=opts.verbose + 1)
         elif flag == "--engine":
             opts = opts.replace(engine=val)
+        elif flag == "--distributed":
+            distributed = True
 
     die = False
     for f in files:
@@ -153,15 +163,54 @@ def run(argv) -> int:
         # site sets; the device engine wins beyond ~30 samples now that
         # the persistent compile cache makes warm starts the common case
         opts = opts.replace(engine="exact" if len(files) <= 32 else "tpu")
+    elif opts.engine == "exact" and len(files) > 100 and not opts.only_merge:
+        n_pairs = len(files) * (len(files) - 1) // 2
+        print(
+            f"ntsm eval: --engine exact scores ~45 pairs/s on the host; "
+            f"{n_pairs} pairs is roughly {n_pairs / 45 / 3600:.1f} h. "
+            "The default device engine produces identical integer columns "
+            "and scores within ~1e-9.",
+            file=sys.stderr,
+        )
 
     t0 = time.monotonic()
+    import contextlib
+
     from ntsm_tpu.eval.driver import run_eval
     from ntsm_tpu.eval.model import load_count_data
+
+    shield = contextlib.nullcontext()
+    out = sys.stdout
+    emit_after = None
+    if distributed:
+        import io
+
+        from ntsm_tpu.parallel.distributed import init_distributed, stdout_shield
+
+        init_distributed()
+        import jax
+
+        # every process loads all count files and runs the same dispatch
+        # (the global-mesh collectives inside compute_pair_stats_tpu need
+        # all processes in lockstep); gloo/collective banners go to stdout,
+        # so the whole compute runs under the stdout shield with the table
+        # buffered — process 0 emits it afterwards, the rest stay silent
+        shield = stdout_shield()
+        out = emit_after = io.StringIO()
+        # the distributed path is the device engine by definition
+        opts = opts.replace(engine="tpu")
 
     if opts.verbose > 0:
         print("Reading count files", file=sys.stderr)
     data = load_count_data(files, opts)
-    run_eval(data, opts, sys.stdout)
+    with shield:
+        run_eval(data, opts, out)
+    if emit_after is not None:
+        import jax
+
+        if jax.process_index() != 0:
+            return 0
+        sys.stdout.write(emit_after.getvalue())
     from ntsm_tpu.cli.count_cmd import _rss_kb
 
     print(

@@ -33,7 +33,7 @@ from ntsm_tpu.utils.formats import cpp_general
 
 @dataclass
 class EngineConfig:
-    batch_reads: int = 16384
+    batch_reads: int = 32768
     segment_len: int = 256
     early_term_check_every: int = 8  # batches between host-side -m checks
     cand_k: int | None = None  # v3 candidate width override (tests)
@@ -41,6 +41,7 @@ class EngineConfig:
     checkpoint_every: int = 64  # batches between snapshots
     fail_after_batches: int | None = None  # fault injection (tests)
     dense: bool = True  # pack reads per row (separator + k-1 halo)
+    upload_depth: int = 3  # producer-thread upload queue depth
 
 
 def run_count_v3(
@@ -67,8 +68,6 @@ def run_count_v3(
         split_fused,
         table_v3_for,
     )
-    from ntsm_tpu.io.fastx import PrefetchReader
-
     config = config or EngineConfig(
         batch_reads=opts.batch_reads,
         segment_len=opts.segment_len,
@@ -179,8 +178,6 @@ def run_count_v3(
             dense=config.dense,
         )
     else:
-        import os as _os
-
         if n_threads > 1 and config.checkpoint_path:
             import sys as _sys
 
@@ -196,11 +193,6 @@ def run_count_v3(
             batch=config.batch_reads,
             dense=config.dense,
         )
-        if (_os.cpu_count() or 1) > 1:
-            # overlap host parse with device compute; on a single-core
-            # host the thread ping-pong costs more than it hides
-            # (measured ~100 ms/batch of GIL/scheduler thrash)
-            reader = PrefetchReader(reader)
     # drain window: one tunnel RTT (~33 ms) is paid per `window` drained
     # batches; the default of 8 amortizes it to ~0.5 ms/batch while keeping
     # <=16 batches (~67 MB of fallback codes) pending
@@ -238,18 +230,33 @@ def run_count_v3(
         total_hits += n_hits2
         return True
 
+    # Fixed-shape diag pad: the drain fetch stacks up to 2*window per-batch
+    # diag vectors; padding to a constant K keeps it ONE compiled XLA
+    # program regardless of how many batches are pending (a ragged final
+    # drain would otherwise synthesize a new stack-of-K program per K —
+    # each a multi-minute remote compile on a cache-cold process).
+    pad_k = 2 * window
+    zero_diag = None
+
     def drain(n: int):
         """Process the oldest n pending batches: one stacked diag fetch
         (one tunnel RTT), then per-batch accounting; a batch whose
         candidate count overflowed CAND_K contributed nothing on device
         (the kernel zeroes its scatter) and is retried with a bigger
         budget, then recounted exactly on the host if still too dense."""
-        nonlocal total_kmers, total_hits
+        nonlocal total_kmers, total_hits, zero_diag
         n = min(n, len(pending))
         if n == 0:
             return
         items = [pending.popleft() for _ in range(n)]
-        diags = np.asarray(jnp.stack([d for d, _ in items]))
+        stack = [d for d, _ in items]
+        if len(stack) < pad_k:
+            if zero_diag is None:
+                zero_diag = jnp.zeros_like(stack[0])
+            stack.extend([zero_diag] * (pad_k - len(stack)))
+        elif len(stack) > pad_k:  # drains are capped at 2*window pending
+            raise AssertionError("drain size exceeds pad_k")
+        diags = np.asarray(jnp.stack(stack))[: len(items)]
         if mesh is None:
             diags = diags[:, None, :]  # [n, 1, 3] — one "shard" per batch
         for (_, codes), dg in zip(items, diags):
@@ -286,15 +293,69 @@ def run_count_v3(
     # everything from here runs under try/finally: the profiler trace must
     # flush and reader threads must unblock even on error/early exit
 
-    reader_it = iter(reader)
-    batch_idx = 0
+    # Producer thread: read + pack + upload off the main thread.  The native
+    # parse, the native pack and the host->device transfer all release the
+    # GIL, so batch N+1 rides the tunnel while the device computes batch N —
+    # measured 115 -> 45 ms/batch on the 49 MB/s axon link
+    # (scripts/profile_overlap.py); this closes most of the gap between the
+    # serialized end-to-end rate and the link bound.
+    import queue as _queue
+    import threading as _threading
+
+    # Upload queue depth trades producer slack against tunnel queue depth:
+    # the axon client throttles when too many transfers+executions are in
+    # flight (a 16-deep queue measured 2.4x SLOWER than 3-deep — dispatch
+    # itself starts blocking), so keep this small.
+    upload_q: _queue.Queue = _queue.Queue(maxsize=config.upload_depth)
+    stop_evt = _threading.Event()
+    sentinel = object()
+    prod_err: list = []
+
+    def _qput(item) -> bool:
+        while not stop_evt.is_set():
+            try:
+                upload_q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def _producer():
+        it = iter(reader)
+        try:
+            n = 0
+            for batch in it:
+                n += 1
+                if n <= skip_batches:
+                    continue  # deterministic reader: parse-only skip on resume
+                packed, vbits = pack_batch_fast(batch.codes)
+                fused = jnp.asarray(fuse_packed(packed, vbits))
+                if not _qput((fused, batch)):
+                    return
+        except BaseException as e:  # surfaced on the consumer side
+            prod_err.append(e)
+        finally:
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()
+            _qput(sentinel)
+
+    prod = _threading.Thread(target=_producer, daemon=True)
+    prod.start()
+    batch_idx = skip_batches
+    stage_t = dict(wait=0.0, dispatch=0.0, drain=0.0)  # -v -v stage budget
     try:
-        for batch in reader_it:
+        while True:
+            _t = _time.monotonic()
+            item = upload_q.get()
+            stage_t["wait"] += _time.monotonic() - _t
+            if item is sentinel:
+                if prod_err:
+                    raise prod_err[0]
+                break
+            fused, batch = item
             batch_idx += 1
-            if batch_idx <= skip_batches:
-                continue  # deterministic reader: parse-only skip on resume
-            packed, vbits = pack_batch_fast(batch.codes)
-            fused = jnp.asarray(fuse_packed(packed, vbits))
+            _t = _time.monotonic()
             pk, vb = split_fused(fused, config.segment_len)
             if mesh is None:
                 counts, diag = count_step_v3(
@@ -307,9 +368,12 @@ def run_count_v3(
             total_bases += batch.n_bases
             total_reads += batch.n_reads
             pending.append((diag, batch.codes))
+            stage_t["dispatch"] += _time.monotonic() - _t
+            _t = _time.monotonic()
             if len(pending) >= 2 * window:
                 # drain the older half; the newer half keeps the device busy
                 drain(window)
+                stage_t["drain"] += _time.monotonic() - _t
                 if check_term and total_hits > max_counts:
                     # drain the rest too: their scatters are already in the
                     # device count vector, so totals (#@TK / Recorded) must
@@ -352,13 +416,24 @@ def run_count_v3(
                 and batch_idx - skip_batches >= config.fail_after_batches
             ):
                 raise RuntimeError("ntsm: injected failure (fail_after_batches)")
+        _t = _time.monotonic()
         drain(len(pending))
+        stage_t["drain"] += _time.monotonic() - _t
+        if opts.verbose > 1:
+            print(
+                f"stage budget: wait {stage_t['wait']:.2f}s "
+                f"dispatch {stage_t['dispatch']:.2f}s "
+                f"drain {stage_t['drain']:.2f}s "
+                f"({batch_idx - skip_batches} batches)",
+                file=sys.stderr,
+            )
     finally:
         if trace_ctx is not None:
             trace_ctx.__exit__(None, None, None)
-        close = getattr(reader_it, "close", None)
-        if close is not None:
-            close()  # unblocks prefetch producers; closes native readers
+        # unblock the producer (it may be parked on a full queue) and wait
+        # for it to close its reader
+        stop_evt.set()
+        prod.join(timeout=10)
     if check_term and not early:
         early = total_hits > max_counts
     if early:
@@ -484,17 +559,19 @@ def run_count(
     if use_pallas:
         return run_count_v1(table, filenames, opts, config, use_pallas=True)
     if version == 3:
-        if mesh is None and jax.device_count() > 1:
+        if mesh is None and jax.local_device_count() > 1:
             # a pod slice (or the virtual CPU mesh): shard batches over
-            # all local devices automatically — unless the batch size
-            # doesn't divide the device count (then stay single-device
-            # rather than erroring on a previously-valid config)
+            # all LOCAL devices automatically — in multi-host mode each
+            # process runs its own host-local mesh (global merge happens
+            # via parallel.distributed.merge_count_results); skip when the
+            # batch size doesn't divide the device count (stay
+            # single-device rather than erroring on a valid config)
             batch = (config.batch_reads if config is not None
                      else opts.batch_reads)
-            if batch % jax.device_count() == 0:
+            if batch % jax.local_device_count() == 0:
                 from ntsm_tpu.parallel.mesh import data_mesh
 
-                mesh = data_mesh()
+                mesh = data_mesh(jax.local_devices())
         return run_count_v3(table, filenames, opts, config, mesh=mesh)
     if version == 2:
         return run_count_v2(table, filenames, opts, config)

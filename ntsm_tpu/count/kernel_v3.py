@@ -166,13 +166,16 @@ def probe_and_count(
     n_kmers_pad = counts.shape[0] - 1
     target = jnp.where(hit, kidx, n_kmers_pad)
 
-    n_cand = cand.sum(dtype=jnp.int64)
-    ok = n_cand <= jnp.int64(kk)
+    # int32 diagnostics: every count here is bounded by the window count
+    # of one batch (<2^23) — int64 reductions are u32-pair emulated on TPU
+    # and measurably slower
+    n_cand = cand.sum(dtype=jnp.int32)
+    ok = n_cand <= jnp.int32(kk)
     upd = (hit & ok).astype(counts.dtype)
     counts = counts.at[target].add(upd)
 
-    n_valid = valid.sum(dtype=jnp.int64)
-    n_hits = jnp.where(ok, hit.sum(dtype=jnp.int64), jnp.int64(0))
+    n_valid = valid.sum(dtype=jnp.int32)
+    n_hits = jnp.where(ok, hit.sum(dtype=jnp.int32), jnp.int32(0))
     diag = jnp.stack([n_valid, n_cand, n_hits])
     return counts, diag
 

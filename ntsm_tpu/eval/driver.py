@@ -143,6 +143,13 @@ def run_eval(data: CountData, opts: Options, out) -> None:
             cloud = project_pcs(data, opts)
             if opts.debug:
                 compute_score_pca_debug(data, opts, out, cloud)
+            elif getattr(opts, "engine", "exact") == "tpu":
+                # device pair-block scoring of the candidate set — same
+                # pairs/order as the host loop, O(candidates · sites) on
+                # the VPU (reference pair loop: CompareCounts.hpp:335-356)
+                from ntsm_tpu.eval.tpu import compute_score_pca_tpu
+
+                compute_score_pca_tpu(data, opts, out, cloud)
             else:
                 compute_score_pca(data, opts, out, cloud)
     if opts.merge:

@@ -345,9 +345,43 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
         stats_fn = _make_sharded_stats(
             mesh, min_cov=float(opts.min_cov), chunk=CHUNK
         )
-        tallies_d, s1_d, joint_d = stats_fn(
-            jnp.asarray(a_np), jnp.asarray(b_np)
-        )
+        if jax.process_count() > 1 and mesh.devices.size > jax.local_device_count():
+            # multi-host: the same row-sharded shard_map runs over the
+            # global mesh — each process feeds only its local row slice
+            # (assembled into one global array) and the in-kernel
+            # all_gather spans hosts via ICI/DCN; outputs are resharded to
+            # replicated so every process can fetch them
+            from jax.sharding import NamedSharding
+
+            from ntsm_tpu.parallel.mesh import P
+
+            row_sh = NamedSharding(mesh, P("data", None))
+            Npad = a_np.shape[0]
+            rows_per = Npad // D
+            # local slice: the rows owned by this process's devices (the
+            # mesh is jax.devices() order, process-major)
+            local_ids = {d.id for d in jax.local_devices()}
+            mine = [i for i, d in enumerate(mesh.devices.flat) if d.id in local_ids]
+            r_lo, r_hi = mine[0] * rows_per, (mine[-1] + 1) * rows_per
+            a_g = jax.make_array_from_process_local_data(
+                row_sh, a_np[r_lo:r_hi], a_np.shape
+            )
+            b_g = jax.make_array_from_process_local_data(
+                row_sh, b_np[r_lo:r_hi], b_np.shape
+            )
+            tallies_d, s1_d, joint_d = stats_fn(a_g, b_g)
+            rep = NamedSharding(mesh, P())
+            reshard = jax.jit(
+                lambda t: t,
+                out_shardings=jax.tree_util.tree_map(
+                    lambda _: rep, (tallies_d, s1_d, joint_d)
+                ),
+            )
+            tallies_d, s1_d, joint_d = reshard((tallies_d, s1_d, joint_d))
+        else:
+            tallies_d, s1_d, joint_d = stats_fn(
+                jnp.asarray(a_np), jnp.asarray(b_np)
+            )
         sl = np.s_[:N, :N]
         tallies = {
             k: np.asarray(v).astype(np.int64)[sl] for k, v in tallies_d.items()
@@ -407,13 +441,174 @@ def _finalize_stats(data, opts, tallies, s1, J) -> dict:
     return dict(score=score, **tallies)
 
 
-def _auto_mesh():
-    """All local devices as a 1-D data mesh when there are several
-    (a pod slice / the virtual CPU mesh); None on a single chip."""
-    if jax.device_count() > 1:
-        from ntsm_tpu.parallel.mesh import data_mesh
+PAIR_BLOCK = 4096  # candidate pairs per device invocation (-p path)
 
-        return data_mesh()
+
+@functools.partial(jax.jit, static_argnames=("chunk", "mc"))
+def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int):
+    """Per-pair statistics for one block of candidate pairs (-p path).
+
+    A/B: [N, Lp] f32 count planes; ii/jj: [P] int32 pair indices.  The
+    rows are gathered on device and every statistic reduces over sites
+    elementwise — no O(N²) matrix is formed, so scoring cost is
+    O(P · sites) for exactly the candidate pairs the kd-tree-equivalent
+    search produced (reference scores candidates one pair at a time,
+    CompareCounts.hpp:335-356).
+
+    Tallies are indicator sums (exact in f32 below 2^24); s1 and the
+    joint terms use the same per-chunk-f32 + two-sum accumulation as the
+    all-vs-all engine, so -p and -a device scores are identical for the
+    same pair.
+    """
+    mcf = jnp.float32(mc)
+    a_i, b_i = A[ii], B[ii]
+    a_j, b_j = A[jj], B[jj]
+    het1, hat1, hcg1, val1, sint1, sfrac1 = _genotype_planes(a_i, b_i, mcf)
+    het2, hat2, hcg2, val2, sint2, sfrac2 = _genotype_planes(a_j, b_j, mcf)
+    m = val1 * val2
+
+    def isum(x):  # exact integer-valued f32 reduction
+        return x.sum(axis=1)
+
+    tallies = dict(
+        n=isum(m),
+        shared_hets=isum(het1 * het2),
+        shared_homs=isum(hat1 * hat2 + hcg1 * hcg2),
+        ibs0=isum(hat1 * hcg2 + hcg1 * hat2),
+        hets1=isum(het1 * val2),
+        homs1=isum((hat1 + hcg1) * val2),
+        hets2=isum(het2 * val1),
+        homs2=isum((hat2 + hcg2) * val1),
+    )
+
+    P, Lp = a_i.shape
+    C = Lp // chunk
+
+    def cview(x):
+        return jnp.swapaxes(x.reshape(P, C, chunk), 0, 1)  # [C, P, c]
+
+    def body(acc, xs):
+        ai_c, bi_c, aj_c, bj_c, m_c, s1_c = xs
+        aa = ai_c + aj_c
+        bb = bi_c + bj_c
+        paa = aa > mcf
+        pbb = bb > mcf
+        jint_p = ((jnp.where(paa, aa, 0.0) + jnp.where(pbb, bb, 0.0)) * m_c).sum(-1)
+        tot = jnp.maximum(aa + bb, 1.0)
+        nf = paa.astype(jnp.float32) + pbb.astype(jnp.float32)
+        jfrac_p = ((nf * (aa * bb) / tot) * m_c).sum(-1)
+        s1_p = (s1_c * m_c).sum(-1)
+        (jih, jil), (jfh, jfl), (s1h, s1l) = acc
+        return (
+            _two_sum(jih, jil, jint_p),
+            _two_sum(jfh, jfl, jfrac_p),
+            _two_sum(s1h, s1l, s1_p),
+        ), None
+
+    s1_plane = (sint1 - sfrac1) + (sint2 - sfrac2)
+    z = jnp.zeros((P,), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body,
+        ((z, z), (z, z), (z, z)),
+        (cview(a_i), cview(b_i), cview(a_j), cview(b_j), cview(m), cview(s1_plane)),
+    )
+    return tallies, acc
+
+
+def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
+    """Device-batched PCA-filtered comparison: identical candidate set and
+    emission order to compute_score_pca (eval/driver.py), pair scoring in
+    PAIR_BLOCK batches on the device instead of the host pair loop.
+
+    Score agreement with the exact engine matches the -a device engine
+    (~1e-9 relative, identical tallies); use --engine exact for bit-level
+    output parity.
+    """
+    from ntsm_tpu.eval.pca import calc_distance_sq, pca_candidates, search_radii
+    from ntsm_tpu.utils.formats import cpp_to_string
+
+    radii = search_radii(data, opts)
+    out.write(HEADER)
+    out.write("\n")
+    pairs = list(pca_candidates(cloud, radii, opts.dim))
+    if not pairs:
+        return
+
+    a_np = _pad_sites(data.max_counts[:, :, 0].astype(np.float32), CHUNK)
+    b_np = _pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK)
+    A = jnp.asarray(a_np)
+    B = jnp.asarray(b_np)
+    cov = data.cov
+
+    for blk0 in range(0, len(pairs), PAIR_BLOCK):
+        blk = pairs[blk0 : blk0 + PAIR_BLOCK]
+        P = len(blk)
+        ii = np.fromiter((p[0] for p in blk), np.int32, P)
+        jj = np.fromiter((p[1] for p in blk), np.int32, P)
+        if P < PAIR_BLOCK:  # pad for a single compiled shape
+            ii = np.pad(ii, (0, PAIR_BLOCK - P), constant_values=ii[0])
+            jj = np.pad(jj, (0, PAIR_BLOCK - P), constant_values=jj[0])
+        tallies_d, acc = _pair_block_stats(
+            A, B, jnp.asarray(ii), jnp.asarray(jj),
+            mc=float(opts.min_cov), chunk=CHUNK,
+        )
+        tallies = {
+            k: np.asarray(v).astype(np.int64)[:P] for k, v in tallies_d.items()
+        }
+        (jih, jil), (jfh, jfl), (s1h, s1l) = acc
+        J = (
+            np.asarray(jih).astype(np.float64) + np.asarray(jil).astype(np.float64)
+            - np.asarray(jfh).astype(np.float64) - np.asarray(jfl).astype(np.float64)
+        )[:P]
+        s1 = (
+            np.asarray(s1h).astype(np.float64) + np.asarray(s1l).astype(np.float64)
+        )[:P]
+        loglik = -2.0 * (J - s1)
+        for t, (i, k) in enumerate(blk):
+            n = int(tallies["n"][t])
+            if n > 0:
+                score = float(loglik[t]) / float(cov[i] * cov[k]) ** opts.cov_skew
+                score /= float(n)
+            else:
+                score = DBL_MAX
+            if not (opts.all or score < opts.score_thresh):
+                continue
+            r = Relate(
+                ibs0=int(tallies["ibs0"][t]),
+                ibs2=int(tallies["shared_hets"][t] + tallies["shared_homs"][t]),
+                shared_homs=int(tallies["shared_homs"][t]),
+                shared_hets=int(tallies["shared_hets"][t]),
+                hets1=int(tallies["hets1"][t]),
+                homs1=int(tallies["homs1"][t]),
+                hets2=int(tallies["hets2"][t]),
+                homs2=int(tallies["homs2"][t]),
+            )
+            r.hom_concord = cpp_div(
+                float(r.shared_homs) - 2.0 * float(r.ibs0),
+                float(min(r.homs1, r.homs2)),
+            )
+            r.relatedness = cpp_div(
+                float(r.shared_hets) - 2.0 * float(r.ibs0),
+                float(min(r.hets1, r.hets2)),
+            )
+            dist = cpp_to_string(calc_distance_sq(cloud, i, k, opts.dim))
+            res = PairResult(i=i, j=k, score=score, n=n, relate=r)
+            out.write(results_row(data, res, dist, opts))
+            out.write("\n")
+
+
+def _auto_mesh():
+    """The 1-D data mesh for eval sharding: the GLOBAL device mesh in
+    multi-process mode (every process participates in the row-sharded
+    stats — see the multi-host branch in compute_pair_stats_tpu), all
+    local devices on a single process (a pod slice / the virtual CPU
+    mesh), or None on a single chip."""
+    from ntsm_tpu.parallel.mesh import data_mesh
+
+    if jax.process_count() > 1:
+        return data_mesh(jax.devices())
+    if jax.local_device_count() > 1:
+        return data_mesh(jax.local_devices())
     return None
 
 

@@ -43,52 +43,70 @@ class FastxRecord:
 
 
 def read_fastx(path: str) -> Iterator[FastxRecord]:
-    """Yield records from a FASTA or FASTQ file (optionally gzipped)."""
+    """Yield records from a FASTA or FASTQ file (optionally gzipped).
+
+    kseq-faithful record grammar (vendor/kseq.h:178-219): records start at
+    a '>' or '@' header line; sequence lines accumulate until a line whose
+    first char is '>', '+' or '@' (empty lines skipped); a '+' line
+    introduces quality, which accumulates until its total length reaches
+    the sequence length.  Line-wrapped FASTQ and mixed FASTA/FASTQ files
+    therefore parse exactly like the reference.
+    """
     with _open(path) as fh:
         buffered = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
         first = buffered.peek(1)[:1]
-        if first == b">":
-            yield from _read_fasta(buffered)
-        elif first == b"@":
-            yield from _read_fastq(buffered)
-        elif first == b"":
+        if first == b"":
             return
-        else:
+        if first not in (b">", b"@"):
+            # kseq silently scans to the first header; our native reader
+            # errors instead — match the native reader so both host paths
+            # reject garbage the same way
             raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")
+        line = buffered.readline()
+        while line:
+            hdr = line.rstrip(b"\r\n")
+            if hdr[:1] not in (b">", b"@"):
+                line = buffered.readline()
+                continue
+            name = _header_name(hdr)
+            seq_parts: list[bytes] = []
+            is_fastq = False
+            line = buffered.readline()
+            while line:
+                c = line[:1]
+                if c == b"+":
+                    is_fastq = True
+                    break
+                if c in (b">", b"@"):
+                    break
+                s = line.rstrip(b"\r\n")
+                if s:
+                    seq_parts.append(s)
+                line = buffered.readline()
+            seq = seq_parts[0] if len(seq_parts) == 1 else b"".join(seq_parts)
+            qual = None
+            if is_fastq:
+                qual_parts: list[bytes] = []
+                qlen = 0
+                slen = len(seq)
+                while qlen < slen:
+                    ql = buffered.readline()
+                    if not ql:
+                        break
+                    ql = ql.rstrip(b"\r\n")
+                    qual_parts.append(ql)
+                    qlen += len(ql)
+                qual = (
+                    qual_parts[0]
+                    if len(qual_parts) == 1
+                    else b"".join(qual_parts)
+                )
+                line = buffered.readline()
+            yield FastxRecord(name, seq, qual)
 
 
 def _header_name(line: bytes) -> str:
     return line[1:].split(None, 1)[0].decode("ascii") if len(line) > 1 else ""
-
-
-def _read_fasta(fh) -> Iterator[FastxRecord]:
-    name = None
-    chunks: list[bytes] = []
-    for line in fh:
-        line = line.rstrip(b"\r\n")
-        if line.startswith(b">"):
-            if name is not None:
-                yield FastxRecord(name, b"".join(chunks))
-            name = _header_name(line)
-            chunks = []
-        elif line:
-            chunks.append(line)
-    if name is not None:
-        yield FastxRecord(name, b"".join(chunks))
-
-
-def _read_fastq(fh) -> Iterator[FastxRecord]:
-    while True:
-        hdr = fh.readline()
-        if not hdr:
-            return
-        hdr = hdr.rstrip(b"\r\n")
-        if not hdr:
-            continue
-        seq = fh.readline().rstrip(b"\r\n")
-        fh.readline()  # '+'
-        qual = fh.readline().rstrip(b"\r\n")
-        yield FastxRecord(_header_name(hdr), seq, qual)
 
 
 # ---------------------------------------------------------------------------

@@ -184,7 +184,6 @@ struct Reader {
     size_t path_idx = 0;
     LineReader lr;
     bool file_open = false;
-    bool fastq = false;
     bool error = false;  // open failure / bad format / IO error
     int k, seglen, batch;
     bool dense = false;            // pack multiple reads per row (see below)
@@ -210,13 +209,17 @@ struct Reader {
                 error = true;
                 return false;
             }
-            fastq = (c == '@');
             return true;
         }
         return false;
     }
 
-    // read next record's encoded sequence into `seq`; false at global EOF
+    // read next record's encoded sequence into `seq`; false at global EOF.
+    // kseq-faithful grammar (vendor/kseq.h:178-219): a record starts at a
+    // '>' or '@' header line; sequence lines accumulate until a line whose
+    // first char is '>', '+' or '@'; a '+' introduces quality, consumed
+    // until its total length reaches the sequence length.  Line-wrapped
+    // FASTQ and mixed FASTA/FASTQ therefore parse exactly like kseq.
     bool next_record() {
         const uint8_t* line = nullptr;
         size_t n = 0;
@@ -230,44 +233,34 @@ struct Reader {
                 error = true;
                 return false;
             }
-            if (fastq) {
-                // header
-                if (!lr.getline(&line, &n)) {
-                    if (lr.f.io_error) continue;  // re-enter the check above
-                    lr.close();
-                    file_open = false;
-                    continue;
-                }
-                if (n == 0) continue;
-                if (!lr.getline(&line, &n)) {
-                    lr.close();
-                    file_open = false;
-                    continue;
-                }
-                seq.resize(n);
-                for (size_t i = 0; i < n; ++i) seq[i] = NT4[line[i]];
-                size_t qn = 0;
-                const uint8_t* ql;
-                lr.getline(&ql, &qn);  // '+'
-                lr.getline(&ql, &qn);  // qual
-                return true;
-            }
-            // FASTA: accumulate body lines until next '>' or EOF
             int c = lr.peek();
             if (c < 0) {
+                if (lr.f.io_error) continue;  // re-enter the check above
                 lr.close();
                 file_open = false;
                 continue;
             }
-            if (c == '>') lr.getline(&line, &n);  // consume header
+            if (c != '>' && c != '@') {
+                // kseq scans forward to the next header char
+                lr.getline(&line, &n);
+                continue;
+            }
+            lr.getline(&line, &n);  // consume header
             seq.clear();
             for (;;) {
                 c = lr.peek();
-                if (c < 0 || c == '>') break;
+                if (c < 0 || c == '>' || c == '+' || c == '@') break;
                 lr.getline(&line, &n);
                 size_t off = seq.size();
                 seq.resize(off + n);
                 for (size_t i = 0; i < n; ++i) seq[off + i] = NT4[line[i]];
+            }
+            if (c == '+') {
+                size_t qn = 0;
+                const uint8_t* ql;
+                lr.getline(&ql, &qn);  // '+' separator line
+                size_t qlen = 0;
+                while (qlen < seq.size() && lr.getline(&ql, &qn)) qlen += qn;
             }
             return true;
         }

@@ -73,7 +73,7 @@ class Options:
     # (byte-parity with the reference); "tpu" forces the device engine.
     engine: str = "auto"
     # read batch geometry for the device counting pipeline
-    batch_reads: int = 16384
+    batch_reads: int = 32768
     segment_len: int = 256
     checkpoint: str | None = None  # restartable count snapshots (extension)
     checkpoint_every: int = 64  # batches between snapshots

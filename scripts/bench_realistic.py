@@ -61,10 +61,11 @@ def main():
         k=19,
     )
 
+    verbose = 2 if os.environ.get("NTSM_BENCH_VERBOSE") else 0
     for dense in (False, True):
         cfg = EngineConfig(dense=dense)
         t0 = time.perf_counter()
-        res = run_count_v3(table, [fq], Options(), cfg)
+        res = run_count_v3(table, [fq], Options(verbose=verbose), cfg)
         dt = time.perf_counter() - t0
         print(
             f"dense={dense}: {dt:6.1f} s -> {res.total_bases/dt/1e6:7.1f} Mbase/s "

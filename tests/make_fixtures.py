@@ -132,6 +132,20 @@ def main(ref_dir: str):
         stdout=FIXTURES / "eval_merge_stdout.txt",
     )
 
+    # -b debug-recall fixture (CompareCounts.hpp:392-527): ground-truth
+    # same-origin groups.  The reference iterates a robin_set, so row
+    # ORDER is hash/build-dependent; the parity test compares the sorted
+    # row multiset (we emit insertion order).
+    (FIXTURES / "debug_groups.txt").write_text(
+        "sampleA_counts.txt sampleA2_counts.txt\n"
+        "sampleB_counts.txt sampleC_counts.txt sampleLow_counts.txt\n"
+    )
+    sh(
+        [ntsm_eval, "-t", "1", "-d", str(dims), "-p", "rotation.tsv",
+         "-n", "center.txt", "-b", "debug_groups.txt", *count_files],
+        stdout=FIXTURES / "eval_debug.tsv",
+    )
+
     make_vcf_world(rng, ref / "ntsmVCF")
     print("fixtures written to", FIXTURES, file=sys.stderr)
 

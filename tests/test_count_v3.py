@@ -75,6 +75,49 @@ def test_v3_early_termination_with_overflow_pending(rng, tmp_path):
     assert int(res.counts.sum()) == res.total_hits
 
 
+def test_v3_early_termination_pinned_fixture():
+    """Device-engine -m semantics are batch-boundary dependent (documented
+    contract: the reference's per-read check, FingerPrint.hpp:476-487, is
+    itself read-order dependent under threads).  This pins ONE
+    deterministic device-engine -m run — config, input, and full output —
+    so the semantics cannot silently drift."""
+    import pathlib
+
+    from ntsm_tpu.io.countfile import format_counts
+    from ntsm_tpu.io.sites import load_site_table
+
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(fix)
+    try:
+        table = load_site_table("sites.fa", 19, allow_dupes=False)
+        cfg = EngineConfig(
+            batch_reads=64, segment_len=128, early_term_check_every=2
+        )
+        res = run_count_v3(
+            table, ["sampleA.fq"], Options(cov_thresh=2.0), cfg
+        )
+        mx, sm = res.site_max_sum(table)
+        text = format_counts(
+            table.site_ids, mx, sm, table.distinct, res.total_kmers, 19
+        )
+        assert text == (fix / "device_m2_counts.txt").read_text()
+        meta = dict(
+            line.split("=")
+            for line in (fix / "device_m2_meta.txt").read_text().splitlines()
+        )
+        assert res.early_term == (meta["early_term"] == "True")
+        assert res.total_kmers == int(meta["total_kmers"])
+        assert res.total_hits == int(meta["total_hits"])
+        assert res.total_bases == int(meta["total_bases"])
+        assert res.total_reads == int(meta["total_reads"])
+        assert int(res.counts.sum()) == res.total_hits
+    finally:
+        os.chdir(cwd)
+
+
 def test_v3_segmented_long_reads(rng, tmp_path):
     sites_path = str(tmp_path / "sites.fa")
     _, sites = make_site_fasta(rng, n_sites=8, path=sites_path)

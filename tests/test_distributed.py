@@ -1,0 +1,182 @@
+"""Multi-host execution: a real 2-process x 4-CPU-device jax.distributed
+cluster (subprocess-spawned, gloo collectives) counting a sharded file set
+must match the golden single-process count exactly — the cross-host half
+of SURVEY §2.3's distributed-backend row.
+
+The reference has no distributed backend (single-process OpenMP,
+src/FingerPrint.hpp:46-87); the semantic contract for the cross-host merge
+is its count-file merge (CompareCounts::mergeCounts,
+src/CompareCounts.hpp:626-674): counts and #@TK sum, distinct columns
+carry over.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from tests.synth import make_reads_fastq, make_site_fasta
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(pid: int, nproc: int, port: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",  # keep the TPU plugin out of subprocesses
+        JAX_PLATFORMS="cpu",
+        JAX_NUM_CPU_DEVICES="4",
+        JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+        JAX_NUM_PROCESSES=str(nproc),
+        JAX_PROCESS_ID=str(pid),
+        NTSM_DISTRIBUTED="1",
+        PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    return env
+
+
+def _world(rng, tmp_path, n_files=4):
+    sites_path = str(tmp_path / "sites.fa")
+    _, sites = make_site_fasta(rng, n_sites=16, path=sites_path)
+    paths = []
+    for i in range(n_files):
+        p = str(tmp_path / f"part{i}.fq")
+        make_reads_fastq(
+            rng, sites[i::n_files] or sites, coverage=5, genotype="het", path=p
+        )
+        paths.append(p)
+    return sites_path, paths
+
+
+def _golden_stdout(sites_path, paths):
+    from ntsm_tpu.count.golden import count_files
+    from ntsm_tpu.io.countfile import format_counts
+    from ntsm_tpu.io.sites import load_site_table
+
+    table = load_site_table(sites_path, 19, allow_dupes=False)
+    g = count_files(table, paths)
+    mx, sm = g.site_max_sum(table)
+    return format_counts(
+        table.site_ids, mx, sm, table.distinct, g.total_kmers, 19
+    )
+
+
+def _run_cluster(argv_tail, nproc, tmp_path, timeout=300):
+    port = _free_port()
+    procs = []
+    for pid in range(nproc):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "ntsm_tpu"] + argv_tail,
+                env=_env(pid, nproc, port),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                cwd=str(tmp_path),
+            )
+        )
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=timeout)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return outs
+
+
+def test_two_process_count_matches_golden(rng, tmp_path):
+    sites_path, paths = _world(rng, tmp_path)
+    expect = _golden_stdout(sites_path, paths)
+
+    outs = _run_cluster(["count", "-s", sites_path] + paths, 2, tmp_path)
+    for rc, out, err in outs:
+        assert rc == 0, err.decode()
+    # process 0 emits the merged table; process 1 is silent on stdout
+    assert outs[0][1].decode() == expect
+    assert outs[1][1] == b""
+
+
+def test_two_process_count_uneven_shards(rng, tmp_path):
+    """3 files over 2 hosts: stride sharding gives host0 two files and
+    host1 one; the merged result must still equal golden over all 3."""
+    sites_path, paths = _world(rng, tmp_path, n_files=3)
+    expect = _golden_stdout(sites_path, paths)
+
+    outs = _run_cluster(["count", "-s", sites_path] + paths, 2, tmp_path)
+    for rc, out, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1].decode() == expect
+
+
+def test_two_process_eval_matches_single(rng, tmp_path):
+    """2-process global-mesh eval (-a, device engine): process 0's table
+    must be byte-identical to the single-process 8-device mesh output —
+    the same shard_map with the same D=8 row split, so even the f32
+    compensated sums agree exactly."""
+    import io
+    import pathlib
+
+    from ntsm_tpu.eval.model import load_count_data
+    from ntsm_tpu.eval.tpu import compute_score_all_tpu
+    from ntsm_tpu.options import Options
+
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    paths = [
+        str(fix / f"sample{s}_counts.txt") for s in ("A", "A2", "B", "C")
+    ]
+    opts = Options(all=True, engine="tpu")
+    data = load_count_data(paths, opts)
+    buf = io.StringIO()
+    compute_score_all_tpu(data, opts, buf)
+    expect = buf.getvalue()
+
+    outs = _run_cluster(
+        ["eval", "-a", "--engine", "tpu"] + paths, 2, tmp_path
+    )
+    for rc, out, err in outs:
+        assert rc == 0, err.decode()
+    got = outs[0][1].decode()
+    # strip the Performing-all-to-all banner goes to stderr; stdout is
+    # the table only
+    assert got == expect
+    assert outs[1][1] == b""
+
+
+def test_host_file_shard_partition():
+    """Stride partition covers every file exactly once across processes."""
+    from ntsm_tpu.parallel.distributed import host_file_shard
+
+    paths = [f"f{i}" for i in range(7)]
+    shards = [host_file_shard(paths, process_id=p, num=3) for p in range(3)]
+    flat = sorted(x for s in shards for x in s)
+    assert flat == sorted(paths)
+    assert shards[0] == ["f0", "f3", "f6"]
+
+
+def test_merge_count_results_single_process_identity():
+    from ntsm_tpu.count.golden import CountResult
+    from ntsm_tpu.parallel.distributed import merge_count_results
+
+    import numpy as np
+
+    r = CountResult(
+        counts=np.arange(5, dtype=np.int64),
+        total_kmers=10,
+        total_hits=4,
+        total_bases=100,
+        total_reads=2,
+        early_term=False,
+    )
+    assert merge_count_results(r) is r

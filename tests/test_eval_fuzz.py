@@ -63,3 +63,58 @@ def test_eval_fuzz_tpu_vs_exact(rng):
                 assert abs(v1 - v2) <= 1e-4 + 1e-3 * abs(v2), (
                     trial, name, x1, x2,
                 )
+
+
+def test_pca_fuzz_tpu_vs_host(rng):
+    """-p path: the device pair-block scorer must emit the same pairs in
+    the same order as the host loop, with identical integer columns and
+    scores within the -a engine's tolerance."""
+    from ntsm_tpu.eval.driver import compute_score_pca
+    from ntsm_tpu.eval.exact import HEADER
+    from ntsm_tpu.eval.tpu import compute_score_pca_tpu
+
+    cols = HEADER.split("\t")
+    for trial in range(6):
+        trng = np.random.default_rng(rng.integers(0, 2**62) + 77 * trial)
+        N = int(trng.integers(3, 12))
+        L = int(trng.integers(5, 200))
+        mx = trng.poisson(trng.uniform(0.5, 30), size=(N, L, 2)).astype(np.int32)
+        mx[trng.random(mx.shape[:2]) < trng.uniform(0, 0.5)] = 0
+        if trng.integers(0, 2):
+            mx[1] = mx[0]
+        dim = int(trng.integers(2, 6))
+        cloud = trng.normal(0, trng.uniform(0.5, 10), size=(N, dim))
+        opts = Options(
+            all=bool(trng.integers(0, 2)),
+            min_cov=int(trng.choice([0, 1, 2])),
+            dim=dim,
+            pca="unused.tsv",
+        )
+        data = CountData(
+            filenames=[f"s{i}_counts.txt" for i in range(N)],
+            locus_ids=[f"rs{i}" for i in range(L)],
+            distinct=np.full((L, 2), 13, dtype=np.int64),
+            max_counts=mx,
+            sum_counts=mx * 13,
+            raw_total_kmers=trng.integers(1, 10**10, N),
+            ks=np.full(N, 19, dtype=np.int64),
+            total_counts=mx.sum(axis=(1, 2)).astype(np.int64),
+        ).prepare(opts)
+        b1, b2 = io.StringIO(), io.StringIO()
+        compute_score_pca_tpu(data, opts, b1, cloud)
+        compute_score_pca(data, opts, b2, cloud)
+        r1 = b1.getvalue().splitlines()
+        r2 = b2.getvalue().splitlines()
+        assert len(r1) == len(r2), (trial, len(r1), len(r2))
+        for l1, l2 in zip(r1[1:], r2[1:]):
+            f1, f2 = l1.split("\t"), l2.split("\t")
+            assert len(f1) == len(f2)
+            for c, (x1, x2) in enumerate(zip(f1, f2)):
+                if x1 == x2:
+                    continue
+                name = cols[c]
+                assert name not in INT_COLS, (trial, name, x1, x2)
+                v1, v2 = float(x1), float(x2)
+                assert abs(v1 - v2) <= 1e-4 + 1e-3 * abs(v2), (
+                    trial, name, x1, x2,
+                )

@@ -108,6 +108,65 @@ def test_crlf_lines(rng, tmp_path):
     _assert_same([fq])
 
 
+def _write_wrapped_fastq(path, seqs, width=40):
+    """Line-wrapped FASTQ (legal per kseq, vendor/kseq.h:178-219):
+    sequence and quality split over multiple lines; quality lines may
+    start with '@' (it's a valid phred char)."""
+    with open(path, "w") as fh:
+        for i, s in enumerate(seqs):
+            q = "@" + "I" * (len(s) - 1) if len(s) > 1 else "I"
+            fh.write(f"@w{i} wrapped\n")
+            for j in range(0, len(s), width):
+                fh.write(s[j : j + width] + "\n")
+            fh.write("+w{} same name allowed\n".format(i))
+            for j in range(0, len(q), width):
+                fh.write(q[j : j + width] + "\n")
+
+
+def test_wrapped_fastq_native_python_parity(rng, tmp_path):
+    fq = str(tmp_path / "wrapped.fq")
+    _write_wrapped_fastq(
+        fq, [_rand_seq(rng, int(n)) for n in rng.integers(30, 400, 40)]
+    )
+    _assert_same([fq])
+    _assert_same_dense([fq])
+
+
+def test_wrapped_fastq_equals_flat(rng, tmp_path):
+    """A wrapped FASTQ must produce the same batches as the identical
+    reads written 4-line flat — the kseq behavior the reference gets."""
+    seqs = [_rand_seq(rng, int(n), n_frac=0.02) for n in rng.integers(30, 500, 30)]
+    flat = str(tmp_path / "flat.fq")
+    wrap = str(tmp_path / "wrap.fq")
+    _write_fastq(flat, seqs)
+    _write_wrapped_fastq(wrap, seqs, width=37)
+    for cls in (PyBatchReader, NativeBatchReader):
+        a = _batches(cls([flat], k=19, seglen=128, batch=8))
+        b = _batches(cls([wrap], k=19, seglen=128, batch=8))
+        assert len(a) == len(b)
+        for (ac, al, ar, ab), (bc, bl, br, bb) in zip(a, b):
+            np.testing.assert_array_equal(ac, bc)
+            np.testing.assert_array_equal(al, bl)
+            assert (ar, ab) == (br, bb)
+
+
+def test_mixed_fasta_fastq_single_file(rng, tmp_path):
+    """kseq accepts FASTA and FASTQ records interleaved in one stream."""
+    mixed = str(tmp_path / "mixed.fq")
+    s1, s2, s3 = (_rand_seq(rng, n) for n in (120, 90, 200))
+    with open(mixed, "w") as fh:
+        fh.write(f"@r0\n{s1}\n+\n{'I' * len(s1)}\n")
+        fh.write(f">c0 fasta in the middle\n{s2[:45]}\n{s2[45:]}\n")
+        fh.write(f"@r1\n{s3}\n+\n{'I' * len(s3)}\n")
+    _assert_same([mixed])
+    from ntsm_tpu.io.fastx import read_fastx
+
+    recs = list(read_fastx(mixed))
+    assert [r.name for r in recs] == ["r0", "c0", "r1"]
+    assert recs[1].seq.decode() == s2
+    assert recs[1].qual is None
+
+
 def test_native_pack_matches_numpy(rng):
     import ctypes
 

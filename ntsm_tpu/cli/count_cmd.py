@@ -31,10 +31,10 @@ HELP = """Usage: ntsm count -s [FASTA] [OPTION]... [FILES...]
   -v, --verbose          Display verbose output.
       --version          Print version information.
       --engine = STR     ntsm_tpu extension: tpu (default), golden, pallas.
-                         pallas is EXPERIMENTAL: it routes through the v1
-                         engine to exercise the Mosaic hash kernel and is
-                         slower than the default (Mosaic has no table
-                         gather, so the probe stays in XLA).
+                         pallas runs the default v3 pipeline with the
+                         window-hash stage as a fused Pallas VPU kernel
+                         (the table probe stays in XLA either way — Mosaic
+                         has no table gather).
       --checkpoint = STR ntsm_tpu extension: restartable snapshot file; an
                          interrupted run resumes from it automatically.
       --checkpoint-every = INT

@@ -42,6 +42,7 @@ class EngineConfig:
     fail_after_batches: int | None = None  # fault injection (tests)
     dense: bool = True  # pack reads per row (separator + k-1 halo)
     upload_depth: int = 3  # producer-thread upload queue depth
+    pallas_hash: bool = False  # Pallas VPU window-hash stage (--engine pallas)
 
 
 def run_count_v3(
@@ -86,6 +87,8 @@ def run_count_v3(
     )
     if config.cand_k is not None:
         kw["cand_k"] = config.cand_k
+    if config.pallas_hash:
+        kw["pallas_hash"] = True
 
     n_dev = 1
     sharded_step = None
@@ -557,7 +560,20 @@ def run_count(
     mesh=None,
 ) -> CountResult:
     if use_pallas:
-        return run_count_v1(table, filenames, opts, config, use_pallas=True)
+        # production Pallas path: the fused VPU hash stage feeding the v3
+        # fingerprint probe (the probe itself stays in XLA — see
+        # pallas_kernel.py module docstring for the measured reasons)
+        if config is None:
+            config = EngineConfig(
+                batch_reads=opts.batch_reads,
+                segment_len=opts.segment_len,
+                checkpoint_path=getattr(opts, "checkpoint", None),
+                checkpoint_every=getattr(opts, "checkpoint_every", 64),
+                pallas_hash=True,
+            )
+        else:
+            config.pallas_hash = True
+        version = 3
     if version == 3:
         if mesh is None and jax.local_device_count() > 1:
             # a pod slice (or the virtual CPU mesh): shard batches over

@@ -181,7 +181,10 @@ def probe_and_count(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "L", "n_buckets", "slots", "bbits", "cand_k")
+    jax.jit,
+    static_argnames=(
+        "k", "L", "n_buckets", "slots", "bbits", "cand_k", "pallas_hash",
+    ),
 )
 def count_step_v3(
     packed,
@@ -197,14 +200,22 @@ def count_step_v3(
     slots: int,
     bbits: int,
     cand_k: int = CAND_K,
+    pallas_hash: bool = False,
 ):
     """One fused counting step, counts stay on device.
 
     Returns (counts', diag) where diag = [n_valid, n_cand, n_hits] i64;
     if n_cand > cand_k the batch contributed NOTHING to counts and must be
-    recounted on the host.
+    recounted on the host.  pallas_hash swaps the XLA window-hash stage
+    for the fused Pallas VPU kernel (`--engine pallas`); the probe stage
+    is identical either way.
     """
-    h, valid = window_hashes_packed(packed, vbits, k, L)
+    if pallas_hash:
+        from ntsm_tpu.count.pallas_kernel import pallas_window_hashes_packed
+
+        h, valid = pallas_window_hashes_packed(packed, vbits, k, L)
+    else:
+        h, valid = window_hashes_packed(packed, vbits, k, L)
     return probe_and_count(
         h,
         valid,

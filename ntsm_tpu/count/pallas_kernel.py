@@ -15,12 +15,20 @@ The table probe deliberately stays in XLA: the bucket-row gather is
 HBM-transaction-bound (measured ~18.5 ms for 3.9M 8-byte rows regardless
 of formulation), and Mosaic's dynamic-gather support is lane-local only
 (take_along_axis(axis=1) with indices < 128 lowers; axis=0 row gathers do
-not — probed on v5e).  What remains profitably fusable on the VPU is
+not — probed on v5e; manual per-row DMA measured ~1000x too slow, see
+scripts/exp_dma_probe.py).  What remains profitably fusable on the VPU is
 exactly this hash stage.
 
-Used by `--engine pallas` (run_count_v1 path) and testable on CPU via
-interpret mode.  Reference semantics: the per-base hot loop of
-FingerPrint::insertCount (src/FingerPrint.hpp:89-103).
+Two entry points:
+  * `pallas_window_hashes(codes, lengths, k)` — unpacked u8 codes
+    (v1-engine interface, kept for tests and the `--engine v1` path).
+  * `pallas_window_hashes_packed(packed, vbits, k, L)` — 2-bit packed
+    input, same contract as kernel_v2.window_hashes_packed; this is the
+    stage `--engine pallas` fuses into the v3 fingerprint probe
+    (kernel_v3.count_step_v3(pallas_hash=True)).
+
+Both are testable on CPU via interpret mode.  Reference semantics: the
+per-base hot loop of FingerPrint::insertCount (src/FingerPrint.hpp:89-103).
 """
 
 from __future__ import annotations
@@ -109,16 +117,13 @@ def _roll_left(x, j: int, L: int):
     return pltpu.roll(x, shift=jnp.int32(L - j), axis=1)
 
 
-def _window_hash_kernel(codes_ref, len_ref, hi_ref, lo_ref, valid_ref, *, k: int):
-    c8 = codes_ref[:]  # [TB, L] u8
-    L = c8.shape[1]
-    c = c8.astype(jnp.uint32)
-    lengths = len_ref[:]  # [TB, 1] i32
-    pos = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
-    bad = ((c > 3) | (pos >= lengths)).astype(jnp.uint32)
-    cc = c & jnp.uint32(3)
+def _hash_core(cc, bad, k: int):
+    """Rolling canonical-window hash on [tb, L] u32 codes (values 0..3)
+    with a [tb, L] u32 bad mask; returns (h_hi, h_lo, badsum) per base
+    position (window w is column w; columns beyond W = L-k+1 are wrapped
+    garbage the caller slices off)."""
+    L = cc.shape[1]
     comp = cc ^ jnp.uint32(3)
-
     z = jnp.zeros_like(cc)
     fw_hi, fw_lo = z, z
     rv_hi, rv_lo = z, z
@@ -137,6 +142,40 @@ def _window_hash_kernel(codes_ref, len_ref, hi_ref, lo_ref, valid_ref, *, k: int
     canon_hi = jnp.where(lt, fw_hi, rv_hi)
     canon_lo = jnp.where(lt, fw_lo, rv_lo)
     h_hi, h_lo = _hash64_pair(canon_hi, canon_lo, k)
+    return h_hi, h_lo, badsum
+
+
+def _window_hash_kernel(codes_ref, len_ref, hi_ref, lo_ref, valid_ref, *, k: int):
+    c8 = codes_ref[:]  # [TB, L] u8
+    c = c8.astype(jnp.uint32)
+    lengths = len_ref[:]  # [TB, 1] i32
+    pos = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    bad = ((c > 3) | (pos >= lengths)).astype(jnp.uint32)
+    cc = c & jnp.uint32(3)
+    h_hi, h_lo, badsum = _hash_core(cc, bad, k)
+
+    hi_ref[:] = h_hi
+    lo_ref[:] = h_lo
+    valid_ref[:] = (badsum == 0).astype(jnp.int32)
+
+
+def _window_hash_kernel_packed(
+    packed_ref, vbits_ref, hi_ref, lo_ref, valid_ref, *, k: int
+):
+    """Same hash core, but unpacks the 2-bit block layout in VMEM
+    (kernel_v2.pack_batch: byte j of [tb, L/4] holds bases
+    (j, j+L/4, j+L/2, j+3L/4) at bit pairs 0/2/4/6, so the unpack is a
+    pure lane concatenation — no shuffles)."""
+    p = packed_ref[:].astype(jnp.uint32)  # [tb, L/4]
+    v = vbits_ref[:].astype(jnp.uint32)  # [tb, L/8]
+    cc = jnp.concatenate(
+        [(p >> (2 * i)) & jnp.uint32(3) for i in range(4)], axis=1
+    )
+    good = jnp.concatenate(
+        [(v >> i) & jnp.uint32(1) for i in range(8)], axis=1
+    )
+    bad = jnp.uint32(1) - good
+    h_hi, h_lo, badsum = _hash_core(cc, bad, k)
 
     hi_ref[:] = h_hi
     lo_ref[:] = h_lo
@@ -187,6 +226,51 @@ def pallas_window_hashes(codes, lengths, k: int):
         ],
         interpret=_use_interpret(),
     )(codes, lengths.astype(jnp.int32).reshape(-1, 1))
+
+    h = (hi[:B, :W].astype(jnp.uint64) << jnp.uint64(32)) | lo[:B, :W].astype(
+        jnp.uint64
+    )
+    valid = valid[:B, :W] != 0
+    return h, valid
+
+
+def pallas_window_hashes_packed(packed, vbits, k: int, L: int):
+    """2-bit packed input -> (h [B, W] u64, valid [B, W] bool).
+
+    Drop-in for kernel_v2.window_hashes_packed; unpack happens in VMEM.
+    Pad rows use vbits=0, so every padded window is invalid and the [:B]
+    slice is the only cleanup needed.
+    """
+    B = packed.shape[0]
+    W = L - k + 1
+    tb = TB if k <= 24 else TB // 4
+    pad = (-B) % tb
+    if pad:
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+        vbits = jnp.pad(vbits, ((0, pad), (0, 0)))
+    Bp = B + pad
+
+    kern = functools.partial(_window_hash_kernel_packed, k=k)
+    imap = lambda i: (i, jnp.int32(0))  # noqa: E731
+    hi, lo, valid = pl.pallas_call(
+        kern,
+        grid=(Bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, L // 4), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, L // 8), imap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, L), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, L), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, L), jnp.int32),
+        ],
+        interpret=_use_interpret(),
+    )(packed, vbits)
 
     h = (hi[:B, :W].astype(jnp.uint64) << jnp.uint64(32)) | lo[:B, :W].astype(
         jnp.uint64

@@ -83,6 +83,7 @@ def make_sharded_count_step_v3(
     slots: int,
     bbits: int,
     cand_k: int | None = None,
+    pallas_hash: bool = False,
 ):
     """Data-parallel v3 counting step (fingerprint probe, device-resident
     counts) over the mesh.
@@ -97,6 +98,15 @@ def make_sharded_count_step_v3(
     from ntsm_tpu.count.kernel_v2 import window_hashes_packed
     from ntsm_tpu.count.kernel_v3 import CAND_K, probe_and_count
 
+    if pallas_hash:
+        from ntsm_tpu.count.pallas_kernel import pallas_window_hashes_packed
+
+        def hash_stage(p, v):
+            return pallas_window_hashes_packed(p, v, k, L)
+    else:
+        def hash_stage(p, v):
+            return window_hashes_packed(p, v, k, L)
+
     ck = CAND_K if cand_k is None else cand_k
 
     @functools.partial(
@@ -107,7 +117,7 @@ def make_sharded_count_step_v3(
         check_rep=False,
     )
     def step(packed, vbits, fp_t, keys_t, vals_t, counts):
-        h, valid = window_hashes_packed(packed, vbits, k, L)
+        h, valid = hash_stage(packed, vbits)
         c, diag = probe_and_count(
             h,
             valid,

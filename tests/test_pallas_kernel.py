@@ -10,7 +10,11 @@ from ntsm_tpu.core.hash import hash64_np, kmer_mask
 from ntsm_tpu.count.engine import run_count
 from ntsm_tpu.count.golden import count_files
 from ntsm_tpu.count.kernel import window_hashes
-from ntsm_tpu.count.pallas_kernel import pallas_window_hashes
+from ntsm_tpu.count.kernel_v2 import pack_batch, window_hashes_packed
+from ntsm_tpu.count.pallas_kernel import (
+    pallas_window_hashes,
+    pallas_window_hashes_packed,
+)
 from ntsm_tpu.io.sites import load_site_table
 from ntsm_tpu.options import Options
 from tests.synth import make_reads_fastq, make_site_fasta
@@ -27,6 +31,30 @@ def test_pallas_window_hashes_match_xla(rng, k):
         jnp.asarray(codes), jnp.asarray(lengths), k, kmer_mask(k)
     )
     h_p, v_p = pallas_window_hashes(jnp.asarray(codes), jnp.asarray(lengths), k)
+
+    v_x = np.asarray(v_x)
+    v_p = np.asarray(v_p)
+    np.testing.assert_array_equal(v_p, v_x)
+    np.testing.assert_array_equal(np.asarray(h_p)[v_p], np.asarray(h_x)[v_x])
+
+
+@pytest.mark.parametrize("k", [5, 19, 32])
+def test_pallas_packed_hashes_match_xla(rng, k):
+    """The packed-input Pallas stage (the one --engine pallas fuses into
+    the v3 probe) matches kernel_v2.window_hashes_packed exactly."""
+    B, L = 48, 128
+    codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    codes[rng.random((B, L)) < 0.02] = 4  # Ns
+    for b in range(B):  # ragged reads: tail positions marked invalid
+        codes[b, rng.integers(k, L + 1) :] = 4
+    packed, vbits = pack_batch(codes)
+
+    h_x, v_x = window_hashes_packed(
+        jnp.asarray(packed), jnp.asarray(vbits), k, L
+    )
+    h_p, v_p = pallas_window_hashes_packed(
+        jnp.asarray(packed), jnp.asarray(vbits), k, L
+    )
 
     v_x = np.asarray(v_x)
     v_p = np.asarray(v_p)

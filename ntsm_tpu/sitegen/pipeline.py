@@ -174,10 +174,23 @@ def genome_kmer_counts(ref_path: str, candidates: np.ndarray, k: int) -> np.ndar
 
 
 def one_mismatch_neighbors(kmer: bytes, k: int) -> np.ndarray:
-    """Canonical encodings of all 3k single-base substitutions."""
+    """Canonical encodings of the 3k single-base substitutions.
+
+    Deduplicated, and excluding the k-mer's own canonical code: bwa
+    counts alignment LOCI (filterRepetiveSNP.pl:35-45 keys on X0+X1),
+    so a genome locus must count once even when two substitutions
+    canonicalize to the same code (near-rc-symmetric k-mers) or a
+    substitution canonicalizes back onto the k-mer itself (its exact
+    occurrences are already counted by the exact pass)."""
     base = encode_bytes(kmer).astype(np.int64)
     neigh = []
     mask = kmer_mask(k)
+    fw0 = 0
+    rv0 = 0
+    for j in range(k):
+        fw0 = (fw0 << 2) | int(base[j])
+        rv0 |= (3 ^ int(base[j])) << (2 * j)
+    self_code = min(fw0 & int(mask), rv0 & int(mask))
     for p in range(k):
         for b in range(4):
             if b == base[p]:
@@ -190,7 +203,8 @@ def one_mismatch_neighbors(kmer: bytes, k: int) -> np.ndarray:
                 fw = (fw << 2) | int(codes[j])
                 rv |= (3 ^ int(codes[j])) << (2 * j)
             neigh.append(min(fw & int(mask), rv & int(mask)))
-    return np.array(neigh, dtype=np.uint64)
+    out = np.unique(np.array(neigh, dtype=np.uint64))
+    return out[out != np.uint64(self_code)]
 
 
 def filter_unique(
@@ -206,10 +220,19 @@ def filter_unique(
     hit within edit distance 1 (X0+X1 == 1, filterRepetiveSNP.pl:35-54) —
     this is essential for VARIANT k-mers, which have zero exact genome hits
     and exactly one 1-mismatch hit (the reference allele's locus).  With
-    mismatch=True (default) we count exact + all 3k single-substitution
-    neighbor occurrences and require the total to be exactly 1; with
-    mismatch=False only exact occurrences are counted (stricter on REF,
-    unusable for VAR — kept for diagnostics)."""
+    mismatch=True (default) we count exact + single-substitution neighbor
+    LOCI (deduped canonical neighborhood) and require the total to be
+    exactly 1 — i.e. exactly one genome locus within Hamming distance 1,
+    strand-canonical (validated against a brute-force string oracle in
+    tests/test_sitegen_uniqueness.py); with mismatch=False only exact
+    occurrences are counted (stricter on REF, unusable for VAR — kept for
+    diagnostics).
+
+    Known divergence from bwa: `aln -n 1` also admits 1-INDEL alignments
+    (a k-mer whose only extra genome hit is via an insertion/deletion is
+    dropped by bwa but kept here); Hamming-only is the deliberate choice —
+    indel-shifted k-length windows almost always also differ by >=2
+    substitutions, and the counting engine itself matches exactly."""
     all_kmers = []
     for site in sites:
         for _, kmer in site.at_kmers + site.cg_kmers:

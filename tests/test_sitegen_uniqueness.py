@@ -1,0 +1,169 @@
+"""Sitegen uniqueness filter vs a brute-force string oracle.
+
+The reference pipeline keeps a sub-k-mer iff `bwa aln -n 1` reports
+exactly one genome locus (X0+X1 == 1, ntsm-scripts/makefile:100-104,
+filterRepetiveSNP.pl:35-54).  Our filter_unique implements the Hamming
+subset of that contract: exactly one genome locus within Hamming
+distance 1, strand-canonical (the deliberate indel divergence is
+documented in sitegen/pipeline.py).  These tests validate the
+implementation against an independent character-level oracle and pin a
+worked example with engineered repeats — the cases bwa's X0/X1 counting
+distinguishes.
+"""
+
+import io
+
+import pytest
+
+from ntsm_tpu.sitegen.pipeline import extract_candidates, filter_unique
+from tests.synth import random_genome
+
+K = 19
+WINDOW = 31
+HALF = WINDOW // 2
+
+_RC = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def revcomp(s: bytes) -> bytes:
+    return s.translate(_RC)[::-1]
+
+
+def hamming(a: bytes, b: bytes) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def oracle_loci(genome: bytes, km: bytes, max_d: int = 1) -> int:
+    """Number of genome loci within Hamming distance max_d of km on
+    either strand — the pure-string ground truth filter_unique must
+    reproduce through its canonical-encoding machinery."""
+    rc = revcomp(km)
+    n = 0
+    for i in range(len(genome) - K + 1):
+        w = genome[i : i + K]
+        if min(hamming(w, km), hamming(w, rc)) <= max_d:
+            n += 1
+    return n
+
+
+def write_world(tmp_path, genome: bytes, snps):
+    """snps: list of (pos_1based, ref_char, alt_char)."""
+    ref_path = tmp_path / "genome.fa"
+    ref_path.write_text(">chr1\n" + genome.decode() + "\n")
+    rows = [
+        f"chr1\t{pos}\trs{i}\t{ref}\t{alt}\t.\t.\t."
+        for i, (pos, ref, alt) in enumerate(snps)
+    ]
+    vcf_path = tmp_path / "snps.vcf"
+    vcf_path.write_text(
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        + "\n".join(rows)
+        + "\n"
+    )
+    return str(ref_path), str(vcf_path)
+
+
+def at_cg_alt(ref_base: str, rng) -> str:
+    return rng.choice(["C", "G"]) if ref_base in "AT" else rng.choice(["A", "T"])
+
+
+def run_filter(tmp_path, genome: bytes, snps):
+    ref_path, vcf_path = write_world(tmp_path, genome, snps)
+    err = io.StringIO()
+    sites = extract_candidates(vcf_path, ref_path, err=err)
+    pre = {
+        s.snp_id: {
+            "at": list(s.at_kmers),
+            "cg": list(s.cg_kmers),
+        }
+        for s in sites
+    }
+    filter_unique(sites, ref_path, K, mismatch=True, err=err)
+    return sites, pre
+
+
+def test_filter_matches_bruteforce_oracle(rng, tmp_path):
+    """Every pre-filter sub-k-mer is kept iff the string oracle counts
+    exactly one <=1-mismatch genome locus."""
+    genome = bytearray(random_genome(rng, 1600))
+    snps = []
+    for pos in (120, 340, 560, 780, 1000):
+        ref = chr(genome[pos - 1])
+        snps.append((pos, ref, at_cg_alt(ref, rng)))
+    genome = bytes(genome)
+    sites, pre = run_filter(tmp_path, genome, snps)
+    checked = 0
+    for s in sites:
+        for attr in ("at", "cg"):
+            kept = {p for p, _ in getattr(s, f"{attr}_kmers")}
+            for p, km in pre[s.snp_id][attr]:
+                want = oracle_loci(genome, km) == 1
+                assert (p in kept) == want, (
+                    f"{s.snp_id} {attr} p={p} {km.decode()}: "
+                    f"oracle={oracle_loci(genome, km)} kept={p in kept}"
+                )
+                checked += 1
+    assert checked >= 100  # the oracle actually exercised the pool
+
+
+def test_exact_duplicate_region_drops_all_kmers(rng, tmp_path):
+    """A site whose whole window occurs twice in the genome loses every
+    sub-k-mer: REF k-mers have two exact loci (bwa X0=2), VAR k-mers have
+    a 1-mismatch locus at BOTH copies (X1=2)."""
+    genome = bytearray(random_genome(rng, 1200))
+    pos = 300
+    ref = chr(genome[pos - 1])
+    snps = [(pos, ref, at_cg_alt(ref, rng))]
+    win = bytes(genome[pos - 1 - HALF : pos - 1 - HALF + WINDOW])
+    genome[900 : 900 + WINDOW] = win  # exact duplicate, far from the site
+    sites, pre = run_filter(tmp_path, bytes(genome), snps)
+    (s,) = sites
+    assert pre[s.snp_id]["at"] and pre[s.snp_id]["cg"]  # stage 1 kept them
+    assert s.at_kmers == [] and s.cg_kmers == []
+
+
+def test_one_mismatch_copy_drops_overlapping_kmers(rng, tmp_path):
+    """A partial exact copy of the window drops exactly the sub-k-mers
+    inside the copied span (two loci each: X0=2 for REF, X1=2 for VAR)
+    and keeps the rest — the positional selectivity bwa's per-k-mer
+    X0/X1 counting gives the reference pipeline."""
+    genome = bytearray(random_genome(rng, 1200))
+    pos = 300
+    ref = chr(genome[pos - 1])
+    snps = [(pos, ref, at_cg_alt(ref, rng))]
+    start = pos - 1 - HALF
+    copy_len = K + 3  # sub-k-mers p=0..3 fit fully inside the copy
+    genome[900 : 900 + copy_len] = genome[start : start + copy_len]
+    genome_b = bytes(genome)
+    sites, pre = run_filter(tmp_path, genome_b, snps)
+    (s,) = sites
+    for attr in ("at", "cg"):
+        kept = {p for p, _ in getattr(s, f"{attr}_kmers")}
+        for p, km in pre[s.snp_id][attr]:
+            want = oracle_loci(genome_b, km) == 1
+            assert (p in kept) == want
+        # the engineered span: p<=3 dropped, and (barring random
+        # collisions) later positions survive
+        assert not kept & {0, 1, 2, 3}
+        assert kept & set(range(4, WINDOW - K + 1))
+
+
+def test_near_palindrome_neighbor_counts_locus_once(tmp_path):
+    """Locus-counting parity corner: when a substitution of a k-mer
+    canonicalizes back onto the k-mer itself (k-mer at Hamming distance
+    1 from its own reverse complement), the single genome locus must not
+    be double-counted (bwa keys on loci; filterRepetiveSNP.pl:35-45)."""
+    from ntsm_tpu.sitegen.pipeline import one_mismatch_neighbors
+    from ntsm_tpu.sitegen.pipeline import canonical_codes
+
+    # build km with hamming(km, revcomp(km)) == 1: palindromic arms, odd
+    # middle base differing from its complement partner only at center
+    arm = b"ACGTTAGCA"  # 9 bases
+    km = arm + b"A" + revcomp(arm)  # 19-mer; revcomp(km) = arm + T + rc(arm)
+    assert hamming(km, revcomp(km)) == 1
+    self_code = int(canonical_codes(km, K)[0])
+    neigh = one_mismatch_neighbors(km, K)
+    # dedup + self-exclusion: no neighbor equals the k-mer's own code and
+    # no code repeats
+    assert self_code not in set(int(x) for x in neigh)
+    assert len(set(int(x) for x in neigh)) == len(neigh)

@@ -223,6 +223,7 @@ def run_count_v3(
         pk2, vb2 = split_fused(f2, config.segment_len)
         kw2 = dict(kw)
         kw2["cand_k"] = RETRY_K
+        kw2["seg_c"] = None  # flat compaction: no per-row limit in the retry
         nonlocal_counts, diag2 = count_step_v3(
             pk2, vb2, tab.fp, tab.keys, tab.vals, counts, **kw2
         )

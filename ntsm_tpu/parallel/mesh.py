@@ -37,6 +37,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ntsm_tpu.count.kernel import count_step_impl
 
 
+_USE_DEFAULT = object()  # "caller did not specify" sentinel (None is meaningful)
+
+
 def data_mesh(devices=None) -> Mesh:
     devices = jax.devices() if devices is None else devices
     return Mesh(np.array(devices), ("data",))
@@ -84,6 +87,8 @@ def make_sharded_count_step_v3(
     bbits: int,
     cand_k: int | None = None,
     pallas_hash: bool = False,
+    seg_c=_USE_DEFAULT,  # int, None (flat compaction), or kernel_v3.SEG_C
+    seg_k1: int | None = None,
 ):
     """Data-parallel v3 counting step (fingerprint probe, device-resident
     counts) over the mesh.
@@ -96,7 +101,17 @@ def make_sharded_count_step_v3(
     at the end of the run.
     """
     from ntsm_tpu.count.kernel_v2 import window_hashes_packed
-    from ntsm_tpu.count.kernel_v3 import CAND_K, probe_and_count
+    from ntsm_tpu.count.kernel_v3 import (
+        CAND_K,
+        SEG_C,
+        SEG_K1,
+        probe_and_count,
+    )
+
+    if seg_c is _USE_DEFAULT:
+        seg_c = SEG_C
+    if seg_k1 is None:
+        seg_k1 = SEG_K1
 
     if pallas_hash:
         from ntsm_tpu.count.pallas_kernel import pallas_window_hashes_packed
@@ -129,6 +144,8 @@ def make_sharded_count_step_v3(
             slots=slots,
             bbits=bbits,
             cand_k=ck,
+            seg_c=seg_c,
+            seg_k1=seg_k1,
         )
         return c[None], diag[None]
 

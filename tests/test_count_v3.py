@@ -145,3 +145,91 @@ def test_v3_overflow_device_retry_then_host(rng, tmp_path):
         np.testing.assert_array_equal(res.counts, golden.counts)
         assert res.total_hits == golden.total_hits
         assert res.total_kmers == golden.total_kmers
+
+
+def test_hierarchical_row_overflow_reports_and_zeroes(rng):
+    """probe_and_count's hierarchical compaction: a row with more than
+    seg_k1 candidates must zero the batch's scatter and report
+    n_cand > cand_k (the engine's retry trigger); the flat path
+    (seg_c=None) over the same input must count normally."""
+    import jax.numpy as jnp
+
+    from ntsm_tpu.count.kernel_v2 import pack_batch, window_hashes_packed
+    from ntsm_tpu.count.kernel_v3 import build_table_v3, probe_and_count
+
+    k, B, L = 19, 32, 128
+    # one read made of a repeated site k-mer -> every window of that read
+    # is a candidate (way more than seg_k1 in its row)
+    base_kmer = rng.integers(0, 4, size=k, dtype=np.uint8)
+    codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    dense_row = np.tile(base_kmer, L // k + 1)[:L]
+    codes[3] = dense_row
+    from ntsm_tpu.core.kmers import window_encodings
+    from ntsm_tpu.core.hash import hash64_np, kmer_mask
+
+    fw, rv, _ = window_encodings(dense_row, k)
+    hashes = np.unique(
+        hash64_np(np.minimum(fw, rv).astype(np.uint64), kmer_mask(k))
+    )
+    tab = build_table_v3(hashes)
+    packed, vbits = pack_batch(codes)
+    h, valid = window_hashes_packed(
+        jnp.asarray(packed), jnp.asarray(vbits), k, L
+    )
+    # cand_k=256 keeps the hierarchy gate satisfied (R*seg_k1 >= cand_k)
+    kwargs = dict(
+        n_buckets=tab.n_buckets, slots=tab.slots, bbits=tab.bbits,
+        cand_k=256,
+    )
+    counts0 = jnp.zeros(hashes.shape[0] + 1, dtype=jnp.int32)
+    # hierarchical: row 3 has ~110 candidates > seg_k1=16
+    c_h, d_h = probe_and_count(
+        h, valid, tab.fp, tab.keys, tab.vals, counts0,
+        seg_c=L - k + 1, seg_k1=16, **kwargs,
+    )
+    assert int(d_h[1]) > 256  # reported as overflow
+    assert int(d_h[2]) == 0  # no hits claimed
+    assert int(np.asarray(c_h).sum()) == 0  # scatter zeroed
+    # flat: same input counts normally
+    c_f, d_f = probe_and_count(
+        h, valid, tab.fp, tab.keys, tab.vals, counts0,
+        seg_c=None, **kwargs,
+    )
+    assert int(d_f[2]) > 0
+    assert int(np.asarray(c_f)[:-1].sum()) == int(d_f[2])
+
+
+def test_hierarchical_matches_flat_on_sparse_input(rng):
+    """On input with few candidates per row the hierarchical and flat
+    compactions produce identical counts and diagnostics."""
+    import jax.numpy as jnp
+
+    from ntsm_tpu.count.kernel_v2 import pack_batch, window_hashes_packed
+    from ntsm_tpu.count.kernel_v3 import build_table_v3, probe_and_count
+
+    k, B, L = 19, 64, 128
+    mask = (1 << (2 * k)) - 1
+    hashes = np.unique(
+        rng.integers(0, mask, size=5000, dtype=np.uint64)
+    )
+    tab = build_table_v3(hashes)
+    codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    packed, vbits = pack_batch(codes)
+    h, valid = window_hashes_packed(
+        jnp.asarray(packed), jnp.asarray(vbits), k, L
+    )
+    kwargs = dict(
+        n_buckets=tab.n_buckets, slots=tab.slots, bbits=tab.bbits,
+        cand_k=2048,
+    )
+    counts0 = jnp.zeros(hashes.shape[0] + 1, dtype=jnp.int32)
+    c_h, d_h = probe_and_count(
+        h, valid, tab.fp, tab.keys, tab.vals, counts0,
+        seg_c=110, seg_k1=32, **kwargs,
+    )
+    c_f, d_f = probe_and_count(
+        h, valid, tab.fp, tab.keys, tab.vals, counts0,
+        seg_c=None, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(c_h), np.asarray(c_f))
+    np.testing.assert_array_equal(np.asarray(d_h), np.asarray(d_f))

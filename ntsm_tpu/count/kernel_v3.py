@@ -103,17 +103,105 @@ class TableV3:
         self.keys = jnp.asarray(lookup.keys)
         self.vals = jnp.asarray(lookup.vals)
 
+    @classmethod
+    def from_hashes_device(cls, hashes: np.ndarray) -> "TableV3":
+        """Build the probe planes ON DEVICE from the raw hash list.
+
+        The host-built planes are ~436 MB at human scale (2.5M k-mers ->
+        4.2M buckets x 8 slots of u8 fp + u64 key + i32 val) and their
+        upload dominates CLI cold start whenever the host->device link is
+        slow (measured: the first engine run absorbs minutes on a
+        congested tunnel).  Uploading the [n] u64 hash array instead
+        (20 MB, ~22x less) and computing bucket/slot placement with one
+        device sort + three scatters removes both that upload and the
+        ~5 s host-side plane build.  Bucket sizing (the only
+        data-dependent decision) stays on the host via a cheap bincount.
+        """
+        n = int(hashes.shape[0])
+        if n < 16:  # degenerate tables: the host path is simpler
+            return cls(build_lookup(hashes, slots=SLOTS_V3))
+        n_buckets = _size_buckets(hashes, SLOTS_V3)
+        self = cls.__new__(cls)
+        self.lookup = None
+        self.n_buckets = n_buckets
+        self.slots = SLOTS_V3
+        self.bbits = int(n_buckets).bit_length() - 1
+        h_dev = jnp.asarray(hashes)  # the only table upload
+        self.fp, self.keys, self.vals = _build_planes_device(
+            h_dev, n_buckets=n_buckets, slots=SLOTS_V3, bbits=self.bbits
+        )
+        return self
+
+
+def _size_buckets(hashes: np.ndarray, slots: int) -> int:
+    """build_lookup's sizing loop without building planes (io/sites.py:72):
+    the smallest power-of-two bucket count >= 2n/slots where no bucket
+    holds more than `slots` entries."""
+    n = int(hashes.shape[0])
+    n_buckets = 1
+    target = max(2 * n, 16)
+    while n_buckets * slots < target:
+        n_buckets *= 2
+    while True:
+        bucket = (hashes & np.uint64(n_buckets - 1)).astype(np.int64)
+        if np.bincount(bucket, minlength=n_buckets).max(initial=0) <= slots:
+            return n_buckets
+        n_buckets *= 2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_buckets", "slots", "bbits")
+)
+def _build_planes_device(h, *, n_buckets: int, slots: int, bbits: int):
+    """[n] u64 hashes -> (fp, keys, vals) planes, entirely on device.
+
+    Same layout contract as build_lookup: stable bucket sort, slot =
+    rank within the bucket run, vals = original k-mer index."""
+    n = h.shape[0]
+    bucket = (h & jnp.uint64(n_buckets - 1)).astype(jnp.int32)
+    order = jnp.argsort(bucket, stable=True)
+    sb = bucket[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), sb[1:] != sb[:-1]]
+    )
+    start_idx = jax.lax.cummax(jnp.where(run_start, idx, 0))
+    within = idx - start_idx
+    flat = sb * jnp.int32(slots) + within
+    hs = h[order]
+    keys = (
+        jnp.full(n_buckets * slots, EMPTY_KEY, dtype=jnp.uint64)
+        .at[flat]
+        .set(hs)
+        .reshape(n_buckets, slots)
+    )
+    vals = (
+        jnp.full(n_buckets * slots, n, dtype=jnp.int32)
+        .at[flat]
+        .set(order.astype(jnp.int32))
+        .reshape(n_buckets, slots)
+    )
+    fpv = fingerprint_jnp(hs >> jnp.uint64(bbits))
+    fp = (
+        jnp.zeros(n_buckets * slots, dtype=jnp.uint8)
+        .at[flat]
+        .set(fpv)
+        .reshape(n_buckets, slots)
+    )
+    return fp, keys, vals
+
 
 def build_table_v3(hashes: np.ndarray) -> TableV3:
     return TableV3(build_lookup(hashes, slots=SLOTS_V3))
 
 
 def table_v3_for(site_table) -> TableV3:
-    """Memoized device table for a SiteTable (building the 4.2M-bucket
-    planes costs ~5 s on this host; engines may be called repeatedly)."""
+    """Memoized device table for a SiteTable (device-side build: one 20 MB
+    hash upload + sort/scatter instead of a ~5 s host plane build and a
+    436 MB upload; engines may be called repeatedly)."""
     tab = getattr(site_table, "_v3_table", None)
     if tab is None:
-        tab = build_table_v3(site_table.kmer_hashes)
+        tab = TableV3.from_hashes_device(site_table.kmer_hashes)
         site_table._v3_table = tab
     return tab
 

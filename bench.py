@@ -40,7 +40,7 @@ def main() -> None:
 
     sys.path.insert(0, ".")
     from ntsm_tpu.count.kernel_v3 import (
-        build_table_v3,
+        TableV3,
         count_step_v3,
         pack_batch,
     )
@@ -53,7 +53,7 @@ def main() -> None:
     hashes = np.unique(
         rng.integers(0, mask38, size=n_sites * kmers_per_site, dtype=np.uint64)
     )
-    tab = build_table_v3(hashes)
+    tab = TableV3.from_hashes_device(hashes)  # 20 MB upload, planes on device
     n_kmers = int(hashes.shape[0])
     kw = dict(
         k=k, L=256, n_buckets=tab.n_buckets, slots=tab.slots, bbits=tab.bbits

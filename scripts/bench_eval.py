@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_SITES = 96287
 
 
-def make_count_files(outdir: str, n_samples: int, rng) -> list[str]:
+def make_count_files(outdir: str, n_samples: int, rng, dirty_frac=0.0) -> list[str]:
     from ntsm_tpu.io.countfile import format_counts
 
     site_ids = [f"rs{100000+i}" for i in range(N_SITES)]
@@ -55,6 +55,12 @@ def make_count_files(outdir: str, n_samples: int, rng) -> list[str]:
         # sequencing-error cross-talk
         at += rng.poisson(0.02 * lam, size=N_SITES)
         cg += rng.poisson(0.02 * lam, size=N_SITES)
+        if dirty_frac and rng.random() < dirty_frac:
+            # "dirty" sample: >30% missing sites -> infinite PCA search
+            # radius tier (Options.pc_miss_site2), the -p worst case
+            miss = rng.random(N_SITES) < 0.4
+            at[miss] = 0
+            cg[miss] = 0
         mx = np.stack([at, cg], axis=1)
         sm = mx * 13
         text = format_counts(
@@ -67,16 +73,35 @@ def make_count_files(outdir: str, n_samples: int, rng) -> list[str]:
     return paths
 
 
+def make_pca_artifacts(outdir: str, rng, dims: int = 20):
+    """Synthetic-but-well-formed PCA artifacts at the human-site scale
+    (the projection/radius machinery is agnostic to whether the rotation
+    came from a real cohort)."""
+    norm = os.path.join(outdir, "norm.txt")
+    with open(norm, "w") as fh:
+        fh.write("\n".join(f"{v:.6f}" for v in rng.uniform(0, 1, N_SITES)))
+        fh.write("\n")
+    rot = os.path.join(outdir, "rot.tsv")
+    mat = rng.normal(0, 0.003, size=(N_SITES, dims))
+    with open(rot, "w") as fh:
+        fh.write("AlleleID\t" + "\t".join(f"PC{i}" for i in range(dims)) + "\n")
+        for i in range(N_SITES):
+            fh.write(f"rs{100000+i}\t" + "\t".join(f"{x:.8f}" for x in mat[i]) + "\n")
+    return rot, norm
+
+
 def main() -> None:
     n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     ref_bin = None
     if "--ref" in sys.argv:
         ref_bin = sys.argv[sys.argv.index("--ref") + 1]
+    pca_mode = "--pca" in sys.argv
+    dirty_frac = 0.3 if pca_mode else 0.0
 
     rng = np.random.default_rng(123)
     tmp = tempfile.mkdtemp(prefix="ntsm_evalbench_")
     t0 = time.perf_counter()
-    paths = make_count_files(tmp, n_samples, rng)
+    paths = make_count_files(tmp, n_samples, rng, dirty_frac=dirty_frac)
     print(f"# generated {n_samples} count files in {time.perf_counter()-t0:.1f} s",
           file=sys.stderr)
     n_pairs = n_samples * (n_samples - 1) // 2
@@ -102,6 +127,34 @@ def main() -> None:
         "metric": "eval_pairs_per_s", "engine": "tpu", "n_samples": n_samples,
         "value": round(n_pairs / wall, 1), "wall_s": round(wall, 2),
     }))
+
+    # --- -p (PCA-filtered) on the same (30%-dirty) cohort: VERDICT r1 #4
+    # done-criterion — the device pair-block scorer must beat -a even when
+    # every dirty sample sits in the infinite-radius tier ---
+    if pca_mode:
+        from ntsm_tpu.eval.driver import compute_score_pca
+        from ntsm_tpu.eval.pca import pca_candidates, project_pcs, search_radii
+        from ntsm_tpu.eval.tpu import compute_score_pca_tpu
+
+        rot, norm = make_pca_artifacts(tmp, rng)
+        opts_p = Options(all=True, pca=rot, norm=norm, engine="tpu")
+        t1 = time.perf_counter()
+        cloud = project_pcs(data, opts_p)
+        n_cand = sum(1 for _ in pca_candidates(
+            cloud[:, : opts_p.dim], search_radii(data, opts_p), opts_p.dim))
+        out = open(os.path.join(tmp, "ours_pca.tsv"), "w")
+        t2 = time.perf_counter()
+        compute_score_pca_tpu(data, opts_p, out, cloud)
+        out.close()
+        t_p = time.perf_counter() - t2
+        print(f"# -p tpu: project+search {t2-t1:.1f} s, score {t_p:.1f} s, "
+              f"{n_cand} candidate pairs of {n_pairs}", file=sys.stderr)
+        wall_p = t_load + (time.perf_counter() - t1)
+        print(json.dumps({
+            "metric": "eval_pairs_per_s", "engine": "tpu_pca",
+            "n_samples": n_samples, "n_candidates": n_cand,
+            "value": round(n_pairs / wall_p, 1), "wall_s": round(wall_p, 2),
+        }))
 
     # --- reference ---
     if ref_bin:

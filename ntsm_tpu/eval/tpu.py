@@ -60,6 +60,20 @@ def _pad_sites(x: np.ndarray, c: int, value=0):
     return x
 
 
+def _wire(x_np: np.ndarray) -> np.ndarray:
+    """Count-plane wire format for the host->device upload.
+
+    Counts are small integers (site max counts; ~2x coverage at the top),
+    so a u16 wire halves the transfer against f32 — the upload dominates
+    eval wall time on slow links (N=3202 planes are ~2.5 GB as f32).  The
+    device side widens back to f32 on entry (every consumer starts with
+    .astype(float32), a no-op for an f32 input).  Values that don't fit
+    u16 fall back to f32 wire."""
+    if x_np.size and x_np.max() < 65536.0 and x_np.min() >= 0.0:
+        return x_np.astype(np.uint16)
+    return x_np
+
+
 def _two_sum(hi, lo, p):
     """Compensated (Knuth two-sum) f32-pair accumulation.
 
@@ -157,6 +171,8 @@ def _planes_and_tallies(a, b, *, mc: float, chunk: int):
     (f64 division over [N, L] was ~0.4 s per 16 samples), and the upload
     drops from six [N, L] planes to the two count planes.
     """
+    a = a.astype(jnp.float32)  # u16 wire widens here (no-op for f32)
+    b = b.astype(jnp.float32)
     N, Lp = a.shape
     C = Lp // chunk
     # indicator matmuls: inputs are exactly 0/1, so even the TPU's default
@@ -217,6 +233,8 @@ def _make_sharded_stats(mesh, *, min_cov: float, chunk: int):
         check_rep=False,
     )
     def stats(a_l, b_l):
+        a_l = a_l.astype(jnp.float32)  # u16 wire widens here
+        b_l = b_l.astype(jnp.float32)
         a = jax.lax.all_gather(a_l, "data", axis=0, tiled=True)
         b = jax.lax.all_gather(b_l, "data", axis=0, tiled=True)
 
@@ -333,8 +351,8 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
     rows are sharded over the 1-D data mesh (each device scores its row
     block against the all_gather'ed planes)."""
     N = data.n_samples
-    a_np = _pad_sites(data.max_counts[:, :, 0].astype(np.float32), CHUNK)
-    b_np = _pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK)
+    a_np = _wire(_pad_sites(data.max_counts[:, :, 0].astype(np.float32), CHUNK))
+    b_np = _wire(_pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK))
 
     if mesh is not None:
         D = mesh.devices.size
@@ -461,8 +479,9 @@ def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int):
     same pair.
     """
     mcf = jnp.float32(mc)
-    a_i, b_i = A[ii], B[ii]
-    a_j, b_j = A[jj], B[jj]
+    # gather on the (possibly u16) wire dtype, widen the gathered rows
+    a_i, b_i = A[ii].astype(jnp.float32), B[ii].astype(jnp.float32)
+    a_j, b_j = A[jj].astype(jnp.float32), B[jj].astype(jnp.float32)
     het1, hat1, hcg1, val1, sint1, sfrac1 = _genotype_planes(a_i, b_i, mcf)
     het2, hat2, hcg2, val2, sint2, sfrac2 = _genotype_planes(a_j, b_j, mcf)
     m = val1 * val2
@@ -534,8 +553,8 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     if not pairs:
         return
 
-    a_np = _pad_sites(data.max_counts[:, :, 0].astype(np.float32), CHUNK)
-    b_np = _pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK)
+    a_np = _wire(_pad_sites(data.max_counts[:, :, 0].astype(np.float32), CHUNK))
+    b_np = _wire(_pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK))
     A = jnp.asarray(a_np)
     B = jnp.asarray(b_np)
     cov = data.cov

@@ -564,6 +564,8 @@ def run_count(
         # production Pallas path: the fused VPU hash stage feeding the v3
         # fingerprint probe (the probe itself stays in XLA — see
         # pallas_kernel.py module docstring for the measured reasons)
+        from dataclasses import replace as _replace
+
         if config is None:
             config = EngineConfig(
                 batch_reads=opts.batch_reads,
@@ -572,8 +574,8 @@ def run_count(
                 checkpoint_every=getattr(opts, "checkpoint_every", 64),
                 pallas_hash=True,
             )
-        else:
-            config.pallas_hash = True
+        else:  # don't mutate the caller's config (it may be reused)
+            config = _replace(config, pallas_hash=True)
         version = 3
     if version == 3:
         if mesh is None and jax.local_device_count() > 1:
@@ -600,7 +602,6 @@ def run_count_v1(
     filenames,
     opts: Options,
     config: EngineConfig | None = None,
-    use_pallas: bool = False,
 ) -> CountResult:
     config = config or EngineConfig(
         batch_reads=opts.batch_reads, segment_len=opts.segment_len
@@ -614,9 +615,6 @@ def run_count_v1(
     total_hits = jnp.int64(0)
 
     step = count_step
-    if use_pallas:
-        from ntsm_tpu.count.pallas_kernel import pallas_count_step as step
-
     max_counts = max_counts_threshold(n_kmers, opts.cov_thresh)
     total_bases = 0
     total_reads = 0

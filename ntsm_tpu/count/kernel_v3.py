@@ -117,10 +117,12 @@ class TableV3:
         ~5 s host-side plane build.  Bucket sizing (the only
         data-dependent decision) stays on the host via a cheap bincount.
         """
+        from ntsm_tpu.io.sites import size_buckets
+
         n = int(hashes.shape[0])
         if n < 16:  # degenerate tables: the host path is simpler
             return cls(build_lookup(hashes, slots=SLOTS_V3))
-        n_buckets = _size_buckets(hashes, SLOTS_V3)
+        n_buckets = size_buckets(hashes, SLOTS_V3)
         self = cls.__new__(cls)
         self.lookup = None
         self.n_buckets = n_buckets
@@ -131,22 +133,6 @@ class TableV3:
             h_dev, n_buckets=n_buckets, slots=SLOTS_V3, bbits=self.bbits
         )
         return self
-
-
-def _size_buckets(hashes: np.ndarray, slots: int) -> int:
-    """build_lookup's sizing loop without building planes (io/sites.py:72):
-    the smallest power-of-two bucket count >= 2n/slots where no bucket
-    holds more than `slots` entries."""
-    n = int(hashes.shape[0])
-    n_buckets = 1
-    target = max(2 * n, 16)
-    while n_buckets * slots < target:
-        n_buckets *= 2
-    while True:
-        bucket = (hashes & np.uint64(n_buckets - 1)).astype(np.int64)
-        if np.bincount(bucket, minlength=n_buckets).max(initial=0) <= slots:
-            return n_buckets
-        n_buckets *= 2
 
 
 @functools.partial(

@@ -21,7 +21,7 @@ exactly this hash stage.
 
 Two entry points:
   * `pallas_window_hashes(codes, lengths, k)` — unpacked u8 codes
-    (v1-engine interface, kept for tests and the `--engine v1` path).
+    (kept for direct parity tests against kernel.window_hashes).
   * `pallas_window_hashes_packed(packed, vbits, k, L)` — 2-bit packed
     input, same contract as kernel_v2.window_hashes_packed; this is the
     stage `--engine pallas` fuses into the v3 fingerprint probe
@@ -186,23 +186,17 @@ def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def pallas_window_hashes(codes, lengths, k: int):
-    """[B, L] u8 codes + [B] i32 lengths -> (h [B, W] u64, valid [B, W] bool).
-
-    Same contract as kernel.window_hashes / kernel_v2.window_hashes_packed.
-    """
-    B, L = codes.shape
-    W = L - k + 1
+def _row_tile(k: int) -> int:
     # large k fully unrolls ~k*12 vector ops per tile; the remote compile
     # helper falls over on 256x256 tiles beyond k~24 — shrink the row tile
-    tb = TB if k <= 24 else TB // 4
-    pad = (-B) % tb
-    if pad:
-        codes = jnp.pad(codes, ((0, pad), (0, 0)), constant_values=4)
-        lengths = jnp.pad(lengths, (0, pad))
-    Bp = B + pad
+    return TB if k <= 24 else TB // 4
 
-    kern = functools.partial(_window_hash_kernel, k=k)
+
+def _launch_window_hash(kern, inputs, widths, *, Bp, tb, L, B, W):
+    """Shared pallas_call + u64-assembly epilogue for both entry points.
+
+    inputs are [Bp, width]-shaped arrays (already padded to a tb multiple);
+    returns (h [B, W] u64, valid [B, W] bool)."""
     # NB: the column index must share the program id's 32-bit type — a bare
     # Python 0 traces as i64 under jax_enable_x64 and Mosaic fails to
     # legalize the index-map return.
@@ -211,27 +205,43 @@ def pallas_window_hashes(codes, lengths, k: int):
         kern,
         grid=(Bp // tb,),
         in_specs=[
-            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, w), imap, memory_space=pltpu.VMEM)
+            for w in widths
         ],
         out_specs=[
-            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM)
+        ] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((Bp, L), jnp.uint32),
             jax.ShapeDtypeStruct((Bp, L), jnp.uint32),
             jax.ShapeDtypeStruct((Bp, L), jnp.int32),
         ],
         interpret=_use_interpret(),
-    )(codes, lengths.astype(jnp.int32).reshape(-1, 1))
+    )(*inputs)
+    h = (hi[:B, :W].astype(jnp.uint64) << jnp.uint64(32)) | lo[
+        :B, :W
+    ].astype(jnp.uint64)
+    return h, valid[:B, :W] != 0
 
-    h = (hi[:B, :W].astype(jnp.uint64) << jnp.uint64(32)) | lo[:B, :W].astype(
-        jnp.uint64
+
+def pallas_window_hashes(codes, lengths, k: int):
+    """[B, L] u8 codes + [B] i32 lengths -> (h [B, W] u64, valid [B, W] bool).
+
+    Same contract as kernel.window_hashes / kernel_v2.window_hashes_packed.
+    """
+    B, L = codes.shape
+    W = L - k + 1
+    tb = _row_tile(k)
+    pad = (-B) % tb
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0)), constant_values=4)
+        lengths = jnp.pad(lengths, (0, pad))
+    return _launch_window_hash(
+        functools.partial(_window_hash_kernel, k=k),
+        (codes, lengths.astype(jnp.int32).reshape(-1, 1)),
+        (L, 1),
+        Bp=B + pad, tb=tb, L=L, B=B, W=W,
     )
-    valid = valid[:B, :W] != 0
-    return h, valid
 
 
 def pallas_window_hashes_packed(packed, vbits, k: int, L: int):
@@ -243,62 +253,14 @@ def pallas_window_hashes_packed(packed, vbits, k: int, L: int):
     """
     B = packed.shape[0]
     W = L - k + 1
-    tb = TB if k <= 24 else TB // 4
+    tb = _row_tile(k)
     pad = (-B) % tb
     if pad:
         packed = jnp.pad(packed, ((0, pad), (0, 0)))
         vbits = jnp.pad(vbits, ((0, pad), (0, 0)))
-    Bp = B + pad
-
-    kern = functools.partial(_window_hash_kernel_packed, k=k)
-    imap = lambda i: (i, jnp.int32(0))  # noqa: E731
-    hi, lo, valid = pl.pallas_call(
-        kern,
-        grid=(Bp // tb,),
-        in_specs=[
-            pl.BlockSpec((tb, L // 4), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, L // 8), imap, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, L), imap, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, L), jnp.uint32),
-            jax.ShapeDtypeStruct((Bp, L), jnp.uint32),
-            jax.ShapeDtypeStruct((Bp, L), jnp.int32),
-        ],
-        interpret=_use_interpret(),
-    )(packed, vbits)
-
-    h = (hi[:B, :W].astype(jnp.uint64) << jnp.uint64(32)) | lo[:B, :W].astype(
-        jnp.uint64
+    return _launch_window_hash(
+        functools.partial(_window_hash_kernel_packed, k=k),
+        (packed, vbits),
+        (L // 4, L // 8),
+        Bp=B + pad, tb=tb, L=L, B=B, W=W,
     )
-    valid = valid[:B, :W] != 0
-    return h, valid
-
-
-@functools.partial(jax.jit, static_argnames=("k", "n_kmers"))
-def pallas_count_step(
-    codes, lengths, keys, vals, counts, total_kmers, total_hits, *, k, n_kmers
-):
-    """v1-interface counting step with the Pallas hash stage.
-
-    Tail identical to kernel.count_step_impl (src/FingerPrint.hpp:89-103
-    semantics: probe the site table per window, count matches)."""
-    h, valid = pallas_window_hashes(codes, lengths, k)
-
-    n_buckets = keys.shape[0]
-    bucket = (h & jnp.uint64(n_buckets - 1)).astype(jnp.int32)
-    kg = keys[bucket]
-    vg = vals[bucket]
-    match = kg == h[..., None]
-    slot_val = jnp.where(match, vg, jnp.int32(n_kmers)).min(axis=-1)
-    found = match.any(axis=-1) & valid
-    idx = jnp.where(found, slot_val, jnp.int32(n_kmers))
-
-    counts = counts.at[idx.reshape(-1)].add(1, mode="drop")
-    total_kmers = total_kmers + valid.sum(dtype=jnp.int64)
-    total_hits = total_hits + found.sum(dtype=jnp.int64)
-    return counts, total_kmers, total_hits

@@ -233,10 +233,16 @@ def _make_sharded_stats(mesh, *, min_cov: float, chunk: int):
         check_rep=False,
     )
     def stats(a_l, b_l):
-        a_l = a_l.astype(jnp.float32)  # u16 wire widens here
+        # gather the (possibly u16) wire shards — half the ICI bytes —
+        # and widen to f32 after the collective
+        a = jax.lax.all_gather(a_l, "data", axis=0, tiled=True).astype(
+            jnp.float32
+        )
+        b = jax.lax.all_gather(b_l, "data", axis=0, tiled=True).astype(
+            jnp.float32
+        )
+        a_l = a_l.astype(jnp.float32)
         b_l = b_l.astype(jnp.float32)
-        a = jax.lax.all_gather(a_l, "data", axis=0, tiled=True)
-        b = jax.lax.all_gather(b_l, "data", axis=0, tiled=True)
 
         het_l, hat_l, hcg_l, val_l, sint_l, sfrac_l = _genotype_planes(
             a_l, b_l, mc

@@ -69,8 +69,11 @@ class SiteTable:
         return int(self.kmer_hashes.shape[0])
 
 
-def build_lookup(hashes: np.ndarray, slots: int = 8) -> LookupTable:
-    """Build the bucketed lookup table on the host (numpy)."""
+def size_buckets(hashes: np.ndarray, slots: int) -> int:
+    """Bucket sizing shared by the host and device table builders: the
+    smallest power-of-two bucket count >= 2n/slots where no bucket holds
+    more than `slots` entries.  Parity-critical — build_lookup and
+    kernel_v3.TableV3.from_hashes_device must agree on this decision."""
     n = int(hashes.shape[0])
     n_buckets = 1
     target = max(2 * n, 16)
@@ -78,20 +81,26 @@ def build_lookup(hashes: np.ndarray, slots: int = 8) -> LookupTable:
         n_buckets *= 2
     while True:
         bucket = (hashes & np.uint64(n_buckets - 1)).astype(np.int64)
-        order = np.argsort(bucket, kind="stable")
-        sb = bucket[order]
-        # position within bucket
-        counts = np.bincount(sb, minlength=n_buckets)
-        if counts.max(initial=0) > slots:
-            n_buckets *= 2
-            continue
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        within = np.arange(n) - starts[sb]
-        keys = np.full((n_buckets, slots), EMPTY_KEY, dtype=np.uint64)
-        vals = np.full((n_buckets, slots), n, dtype=np.int32)
-        keys[sb, within] = hashes[order]
-        vals[sb, within] = order.astype(np.int32)
-        return LookupTable(keys=keys, vals=vals, n_buckets=n_buckets, slots=slots)
+        if np.bincount(bucket, minlength=n_buckets).max(initial=0) <= slots:
+            return n_buckets
+        n_buckets *= 2
+
+
+def build_lookup(hashes: np.ndarray, slots: int = 8) -> LookupTable:
+    """Build the bucketed lookup table on the host (numpy)."""
+    n = int(hashes.shape[0])
+    n_buckets = size_buckets(hashes, slots)
+    bucket = (hashes & np.uint64(n_buckets - 1)).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    sb = bucket[order]
+    counts = np.bincount(sb, minlength=n_buckets)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(n) - starts[sb]
+    keys = np.full((n_buckets, slots), EMPTY_KEY, dtype=np.uint64)
+    vals = np.full((n_buckets, slots), n, dtype=np.int32)
+    keys[sb, within] = hashes[order]
+    vals[sb, within] = order.astype(np.int32)
+    return LookupTable(keys=keys, vals=vals, n_buckets=n_buckets, slots=slots)
 
 
 def load_site_table(path: str, k: int, allow_dupes: bool, err=sys.stderr) -> SiteTable:

@@ -91,7 +91,9 @@ def make_pca_artifacts(outdir: str, rng, dims: int = 20):
 
 
 def main() -> None:
-    n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")
+           and (len(sys.argv) < 3 or sys.argv[sys.argv.index(a) - 1] != "--ref")]
+    n_samples = int(pos[0]) if pos else 256
     ref_bin = None
     if "--ref" in sys.argv:
         ref_bin = sys.argv[sys.argv.index("--ref") + 1]
@@ -132,7 +134,6 @@ def main() -> None:
     # done-criterion — the device pair-block scorer must beat -a even when
     # every dirty sample sits in the infinite-radius tier ---
     if pca_mode:
-        from ntsm_tpu.eval.driver import compute_score_pca
         from ntsm_tpu.eval.pca import pca_candidates, project_pcs, search_radii
         from ntsm_tpu.eval.tpu import compute_score_pca_tpu
 
@@ -140,16 +141,19 @@ def main() -> None:
         opts_p = Options(all=True, pca=rot, norm=norm, engine="tpu")
         t1 = time.perf_counter()
         cloud = project_pcs(data, opts_p)
-        n_cand = sum(1 for _ in pca_candidates(
-            cloud[:, : opts_p.dim], search_radii(data, opts_p), opts_p.dim))
         out = open(os.path.join(tmp, "ours_pca.tsv"), "w")
         t2 = time.perf_counter()
         compute_score_pca_tpu(data, opts_p, out, cloud)
         out.close()
         t_p = time.perf_counter() - t2
-        print(f"# -p tpu: project+search {t2-t1:.1f} s, score {t_p:.1f} s, "
-              f"{n_cand} candidate pairs of {n_pairs}", file=sys.stderr)
         wall_p = t_load + (time.perf_counter() - t1)
+        # diagnostics only — enumerated OUTSIDE the timed window (the
+        # scorer re-enumerates internally; counting it twice inside the
+        # window would skew the published rate)
+        n_cand = sum(1 for _ in pca_candidates(
+            cloud[:, : opts_p.dim], search_radii(data, opts_p), opts_p.dim))
+        print(f"# -p tpu: project {t2-t1:.1f} s, search+score {t_p:.1f} s, "
+              f"{n_cand} candidate pairs of {n_pairs}", file=sys.stderr)
         print(json.dumps({
             "metric": "eval_pairs_per_s", "engine": "tpu_pca",
             "n_samples": n_samples, "n_candidates": n_cand,

@@ -63,9 +63,10 @@ def main():
 
     verbose = 2 if os.environ.get("NTSM_BENCH_VERBOSE") else 0
 
-    # Warmup: the FIRST engine run in a process pays the one-time site-table
-    # device upload (~436 MB of fp/key/val planes) plus executable load;
-    # on a congested tunnel that can be minutes and whichever mode ran
+    # Warmup: the FIRST engine run in a process pays one-time costs —
+    # the 20 MB hash upload + device table build (TableV3.from_hashes_device;
+    # formerly a ~436 MB plane upload) and the executable compile/load; on a
+    # congested tunnel that can still be minutes, and whichever mode ran
     # first absorbed it (measured: swapping the order swaps which mode
     # looks 400x slower).  Run a tiny throwaway count first so both timed
     # runs measure the steady-state pipeline.

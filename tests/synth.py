@@ -7,7 +7,7 @@ import gzip
 import numpy as np
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
-COMP = {65: 84, 67: 71, 71: 67, 84: 65}
+COMP = {65: 84, 67: 71, 71: 67, 84: 65, 78: 78}  # A<->T C<->G N->N
 
 
 def random_genome(rng, n: int) -> bytes:

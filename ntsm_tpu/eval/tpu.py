@@ -432,6 +432,23 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
     jint = np.asarray(jint_d[0]).astype(np.float64) + np.asarray(
         jint_d[1]
     ).astype(np.float64)
+
+    import os as _os
+
+    if jax.default_backend() in ("tpu", "axon") and _os.environ.get(
+        "NTSM_PALLAS_JOINT"
+    ):
+        # opt-in experiment: one Pallas dispatch for the whole [N, N]
+        # fractional pass.  Measured SLOWER than the XLA row-tile loop
+        # (1.36 s vs 0.57 s at N=1024 — see eval/pallas_joint.py for the
+        # record), so the XLA path is the default.
+        fh_d, fl_d = _joint_frac_pallas(a_d, b_d, v_t, float(opts.min_cov))
+        J = jint - (
+            np.asarray(fh_d).astype(np.float64)
+            + np.asarray(fl_d).astype(np.float64)
+        )
+        return _finalize_stats(data, opts, tallies, s1, J)
+
     joint_fn = _make_joint_fn(opts.min_cov)
     J = np.zeros((N, N), np.float64)
     pad_rows = (-N) % ROW_TILE
@@ -452,6 +469,18 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
         J[r0:r1] = jint[r0:r1] - ((fh + fl)[: r1 - r0])
 
     return _finalize_stats(data, opts, tallies, s1, J)
+
+
+@functools.partial(jax.jit, static_argnames=("mc",))
+def _joint_frac_pallas(a_t, b_t, v_t, mc: float):
+    """[C, N, c] chunked planes -> full [N, N] fractional joint (hi, lo)
+    via the Pallas kernel (eval/pallas_joint.py)."""
+    from ntsm_tpu.eval.pallas_joint import joint_frac_full
+
+    def rows(x):  # [C, N, c] -> [N, Lp] in original site order
+        return jnp.swapaxes(x, 0, 1).reshape(x.shape[1], -1)
+
+    return joint_frac_full(rows(a_t), rows(b_t), rows(v_t), mc)
 
 
 def _finalize_stats(data, opts, tallies, s1, J) -> dict:

@@ -310,7 +310,17 @@ def run_count_v3(
     # the axon client throttles when too many transfers+executions are in
     # flight (a 16-deep queue measured 2.4x SLOWER than 3-deep — dispatch
     # itself starts blocking), so keep this small.
-    upload_q: _queue.Queue = _queue.Queue(maxsize=config.upload_depth)
+    #
+    # Batches are STAGED and uploaded AGG at a time as one [AGG, B, L*3/8]
+    # array: each host->device transfer carries a fixed ~50 ms cost on the
+    # tunneled runtime, which capped per-batch (3 MB) uploads at ~58 MB/s
+    # while bulk transfers reach 6x that (scripts/ -> /tmp/prod_budget
+    # measurement, 2026-08-17); the consumer receives per-batch device
+    # slices, so step shapes and -m batch-boundary semantics are unchanged.
+    AGG = 4
+    upload_q: _queue.Queue = _queue.Queue(
+        maxsize=max(config.upload_depth, AGG + 1)
+    )
     stop_evt = _threading.Event()
     sentinel = object()
     prod_err: list = []
@@ -326,6 +336,16 @@ def run_count_v3(
 
     def _producer():
         it = iter(reader)
+        staged: list = []  # (fused np, batch) awaiting one aggregated upload
+
+        def flush() -> bool:
+            if not staged:
+                return True
+            dev = jnp.asarray(np.stack([f for f, _ in staged]))
+            ok = all(_qput((dev[i], b)) for i, (_, b) in enumerate(staged))
+            staged.clear()
+            return ok
+
         try:
             n = 0
             for batch in it:
@@ -333,9 +353,10 @@ def run_count_v3(
                 if n <= skip_batches:
                     continue  # deterministic reader: parse-only skip on resume
                 packed, vbits = pack_batch_fast(batch.codes)
-                fused = jnp.asarray(fuse_packed(packed, vbits))
-                if not _qput((fused, batch)):
+                staged.append((fuse_packed(packed, vbits), batch))
+                if len(staged) >= AGG and not flush():
                     return
+            flush()
         except BaseException as e:  # surfaced on the consumer side
             prod_err.append(e)
         finally:

@@ -314,8 +314,8 @@ def run_count_v3(
     # Batches are STAGED and uploaded AGG at a time as one [AGG, B, L*3/8]
     # array: each host->device transfer carries a fixed ~50 ms cost on the
     # tunneled runtime, which capped per-batch (3 MB) uploads at ~58 MB/s
-    # while bulk transfers reach 6x that (scripts/ -> /tmp/prod_budget
-    # measurement, 2026-08-17); the consumer receives per-batch device
+    # while bulk transfers reach 6x that (scripts/exp_upload_agg.py);
+    # the consumer receives per-batch device
     # slices, so step shapes and -m batch-boundary semantics are unchanged.
     AGG = 4
     upload_q: _queue.Queue = _queue.Queue(

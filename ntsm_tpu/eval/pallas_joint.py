@@ -13,11 +13,14 @@ This kernel keeps the [TI, SUB, TJ] working set in VMEM and accumulates
 two-sum per CK sites, so results match the XLA path to f32 reassociation
 noise (measured 0.0 at CK=256, 2.4e-8 at CK=1024).
 
-NEGATIVE RESULT (TPU v5e, N=1024, 96512 sites, device-resident planes):
+NEGATIVE RESULT (TPU v5e, N=1024, 96512 sites, device-resident planes,
+value-fetch-inclusive timing per the CLAUDE.md methodology rule):
 
-    XLA row-tile pass (_joint_tiles, 16 dispatches)   0.57 s
-    this kernel, CK=256  (96.5K grid steps)           1.35 s
-    this kernel, CK=1024 (24K grid steps)             1.36 s
+    XLA row-tile pass (_joint_tiles, 16 dispatches)   0.92 s
+    this kernel, CK=1024 (24K grid steps)             1.51 s
+    (block_until_ready-only timings, which under-report on this
+    platform, gave 0.57 s vs 1.35-1.36 s with CK=256 ~= CK=1024 —
+    same verdict either way)
 
 The hypothesis was that XLA's [T, N, chunk] broadcast intermediates
 stream through HBM; in fact XLA's scan formulation is already within

@@ -436,12 +436,12 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
     import os as _os
 
     if jax.default_backend() in ("tpu", "axon") and _os.environ.get(
-        "NTSM_PALLAS_JOINT"
-    ):
+        "NTSM_PALLAS_JOINT", ""
+    ).lower() in ("1", "true", "yes"):
         # opt-in experiment: one Pallas dispatch for the whole [N, N]
         # fractional pass.  Measured SLOWER than the XLA row-tile loop
-        # (1.36 s vs 0.57 s at N=1024 — see eval/pallas_joint.py for the
-        # record), so the XLA path is the default.
+        # (1.51 s vs 0.92 s at N=1024, value-fetch-inclusive — see
+        # eval/pallas_joint.py for the record), so XLA is the default.
         fh_d, fl_d = _joint_frac_pallas(a_d, b_d, v_t, float(opts.min_cov))
         J = jint - (
             np.asarray(fh_d).astype(np.float64)

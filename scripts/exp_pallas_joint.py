@@ -36,20 +36,27 @@ def xla_full():
         bi = b_t[:, r0:r0+ROW_TILE]
         vi = v_t[:, r0:r0+ROW_TILE]
         outs.append(jfn(ai, bi, vi, a_t, b_t, v_t))
-    return jax.block_until_ready(outs)
+    # CLAUDE.md rule: block_until_ready under-reports on this platform —
+    # fetch every tile's values so the timing covers real completion
+    _ = [float(np.asarray(h).ravel()[0]) for h, _ in outs]
+    return outs
 
 out_x = xla_full()
 t0 = time.perf_counter()
 out_x = xla_full()
 t_x = time.perf_counter() - t0
-print(f"XLA row-tile pass : {t_x:.2f}s")
+print(f"XLA row-tile pass : {t_x:.2f}s (value-fetch-inclusive)")
 
 pj = jax.jit(lambda a,b,v: joint_frac_full(a, b, v, 1.0))
-out_p = jax.block_until_ready(pj(a, b, v))
+def pallas_full():
+    out = pj(a, b, v)
+    _ = float(np.asarray(out[0]).ravel()[0])
+    return out
+out_p = pallas_full()
 t0 = time.perf_counter()
-out_p = jax.block_until_ready(pj(a, b, v))
+out_p = pallas_full()
 t_p = time.perf_counter() - t0
-print(f"Pallas full pass  : {t_p:.2f}s  ({t_x/t_p:.1f}x)")
+print(f"Pallas full pass  : {t_p:.2f}s  ({t_x/t_p:.1f}x, value-fetch-inclusive)")
 
 # numeric agreement
 exp = np.concatenate([np.asarray(h).astype(np.float64) + np.asarray(l).astype(np.float64) for h, l in out_x], axis=0)[:N]

@@ -18,12 +18,13 @@ budget: wait 4.2 s -> 1.0 s over 51 batches; 67 -> 93 Mbase/s e2e).
 Usage: python scripts/exp_upload_agg.py <reads.fq>
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -42,14 +42,18 @@ b = jax.random.randint(kb, (N, Lp), 0, 40).astype(jnp.float32)
 jax.block_until_ready((a, b))
 
 
+def _fetch(out):
+    # CLAUDE.md rule: block_until_ready under-reports on this platform —
+    # materialize a host value so the timing covers real completion
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(np.asarray(leaves[0]).ravel()[0])
+
+
 def timed(label, fn, *args, reps=3):
-    out = fn(*args)
-    r = jax.block_until_ready(out)
-    # fetch a scalar through the tunnel so timing is fetch-inclusive once
+    _fetch(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-        r = jax.block_until_ready(out)
+        _fetch(fn(*args))
     dt = (time.perf_counter() - t0) / reps
     print(f"{label:28s}: {dt*1e3:9.1f} ms")
     return dt

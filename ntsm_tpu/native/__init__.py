@@ -114,6 +114,21 @@ def load():
                 ctypes.POINTER(ctypes.c_long),
                 ctypes.POINTER(ctypes.c_long),
             ]
+        if hasattr(lib, "ntsm_format_eval_rows"):
+            lib.ntsm_format_eval_rows.restype = ctypes.c_long
+            lib.ntsm_format_eval_rows.argtypes = [
+                ctypes.c_long,
+                ctypes.c_void_p,  # ii i32
+                ctypes.c_void_p,  # jj i32
+                ctypes.c_void_p,  # f3 f64 [P,3]
+                ctypes.c_void_p,  # i9 i64 [P,9]
+                ctypes.c_void_p,  # same u8
+                ctypes.c_void_p,  # samp bytes [n_samp,6] width w
+                ctypes.c_long,  # samp_w
+                ctypes.c_long,  # n_samp
+                ctypes.c_void_p,  # outbuf
+                ctypes.c_long,  # outcap
+            ]
         if hasattr(lib, "ntsm_parse_counts"):
             lib.ntsm_parse_counts.restype = ctypes.c_long
             lib.ntsm_parse_counts.argtypes = [

@@ -643,3 +643,77 @@ extern "C" long ntsm_parse_counts2(const uint8_t* buf, long len, int32_t* mc,
     *ids_len = idw;
     return rows;
 }
+
+// ---------------------------------------------------------------------------
+// Eval row formatter: emits the 26-column summary.tsv rows for a block of
+// sample pairs (resultsStr, src/CompareCounts.hpp:844-921).  The Python
+// emission loop costs ~10-50 us/row (5.1M rows at the N=3202 cohort =
+// minutes of pure host formatting); this does the same work at ~1 us/row.
+// Float columns use snprintf("%f") — byte-identical to std::to_string
+// (both are vsnprintf "%f" under glibc, including nan/-nan/inf spellings,
+// utils/formats.py:cpp_to_string).
+//
+// Inputs:
+//   ii/jj      [P] i32 sample indices per pair
+//   f3         [P*3] f64: score, relatedness, homConcord
+//   i9         [P*9] i64: ibs0, ibs2, hets1, hets2, sharedHet,
+//                          homs1, homs2, sharedHom, n
+//   same       [P]   u8: '0' or '1' (column 4)
+//   samp       [n_samp * 6] fixed-width byte strings, width samp_w,
+//              NUL-padded, column order: fname, cov, errorRate, miss,
+//              homs, hets (per-sample values are formatted once on the
+//              Python side)
+//   outbuf     [outcap] output; rows are '\t'-joined, '\n'-terminated
+// Returns bytes written, or -1 if outbuf would overflow (caller retries
+// with a bigger buffer / smaller block).
+
+static inline char* fmt_i64(char* p, int64_t v) {
+    if (v < 0) { *p++ = '-'; }
+    uint64_t u = v < 0 ? (uint64_t)(-(v + 1)) + 1 : (uint64_t)v;
+    char tmp[20];
+    int n = 0;
+    do { tmp[n++] = (char)('0' + u % 10); u /= 10; } while (u);
+    while (n) *p++ = tmp[--n];
+    return p;
+}
+
+extern "C" long ntsm_format_eval_rows(
+    long n_pairs, const int32_t* ii, const int32_t* jj, const double* f3,
+    const int64_t* i9, const uint8_t* same, const char* samp, long samp_w,
+    long n_samp, char* outbuf, long outcap) {
+    (void)n_samp;
+    char* p = outbuf;
+    char* const cap = outbuf + outcap;
+    // worst case per float field: -1.8e308 in %f = 310 digits + '.' + 6
+    const long MAXROW = 3 * 330 + 9 * 20 + 6 * samp_w + 32;
+    for (long r = 0; r < n_pairs; ++r) {
+        if (cap - p < MAXROW) return -1;
+        const char* si = samp + (long)ii[r] * 6 * samp_w;
+        const char* sj = samp + (long)jj[r] * 6 * samp_w;
+        const double* f = f3 + r * 3;
+        const int64_t* g = i9 + r * 9;
+        // fname1 \t fname2
+        size_t n = strnlen(si, samp_w); memcpy(p, si, n); p += n; *p++ = '\t';
+        n = strnlen(sj, samp_w); memcpy(p, sj, n); p += n; *p++ = '\t';
+        // score \t same \t dist(-1) \t relate \t
+        p += snprintf(p, 340, "%f", f[0]); *p++ = '\t';
+        *p++ = (char)same[r]; *p++ = '\t';
+        *p++ = '-'; *p++ = '1'; *p++ = '\t';
+        p += snprintf(p, 340, "%f", f[1]); *p++ = '\t';
+        // ibs0 \t ibs2 \t homConcord \t
+        p = fmt_i64(p, g[0]); *p++ = '\t';
+        p = fmt_i64(p, g[1]); *p++ = '\t';
+        p += snprintf(p, 340, "%f", f[2]); *p++ = '\t';
+        // hets1 hets2 sharedHet homs1 homs2 sharedHom n
+        for (int c = 2; c < 9; ++c) { p = fmt_i64(p, g[c]); *p++ = '\t'; }
+        // cov1 cov2 err1 err2 miss1 miss2 homs1 homs2 hets1 hets2
+        for (int c = 1; c < 6; ++c) {
+            const char* a = si + (long)c * samp_w;
+            const char* b = sj + (long)c * samp_w;
+            n = strnlen(a, samp_w); memcpy(p, a, n); p += n; *p++ = '\t';
+            n = strnlen(b, samp_w); memcpy(p, b, n); p += n;
+            *p++ = (c < 5) ? '\t' : '\n';
+        }
+    }
+    return (long)(p - outbuf);
+}

@@ -118,3 +118,93 @@ def test_pca_fuzz_tpu_vs_host(rng):
                 assert abs(v1 - v2) <= 1e-4 + 1e-3 * abs(v2), (
                     trial, name, x1, x2,
                 )
+
+
+def test_native_row_formatter_matches_python_loop(rng):
+    """The native emission path is byte-identical to the Python loop on a
+    synthetic stats matrix covering every formatting edge: DBL_MAX scores
+    (n == 0 pairs), nan/-nan relatedness (zero denominators), inf
+    homConcord, and both -a and thresholded modes."""
+    import io
+
+    from ntsm_tpu.eval.exact import DBL_MAX
+    from ntsm_tpu.eval import tpu as evt
+    from ntsm_tpu.eval.model import CountData
+    from ntsm_tpu.options import Options
+
+    N = 23
+    stats = {}
+    for k in (
+        "n", "ibs0", "shared_hets", "shared_homs", "hets1", "homs1",
+    ):
+        stats[k] = rng.integers(0, 90000, size=(N, N)).astype(np.int64)
+    # zero denominators -> nan / inf in relate / homConcord
+    stats["hets1"][3, :] = 0
+    stats["hets1"][:, 3] = 0
+    stats["homs1"][5, :] = 0
+    stats["ibs0"][5, :] = 0
+    stats["shared_homs"][5, :] = 0  # 0/0 -> nan with x86 sign
+    score = rng.uniform(0.0, 3.0, size=(N, N))
+    score[2, 7] = DBL_MAX  # n == 0 pair sentinel, 316-char %f output
+    stats["score"] = score
+
+    data = CountData.__new__(CountData)
+    data.max_counts = np.zeros((N, 1, 2), dtype=np.int64)  # n_samples prop
+    data.filenames = [f"s{i}.txt" for i in range(N)]
+    data.cov = rng.uniform(10, 40, N)
+    data.error_rate = rng.uniform(0, 0.02, N)
+    data.miss = rng.integers(0, 50, N)
+    data.homs = rng.integers(1000, 9000, N)
+    data.hets = rng.integers(1000, 9000, N)
+
+    class _FakeStats:
+        pass
+
+    def emit(opts, use_native):
+        out = io.StringIO()
+        if use_native:
+            ok = evt._write_rows_native(data, opts, out, stats)
+            assert ok, "native formatter unavailable"
+        else:
+            # the Python loop body of compute_score_all_tpu
+            from ntsm_tpu.eval.exact import PairResult, Relate, results_row
+            from ntsm_tpu.utils.formats import cpp_div
+
+            sc = stats["score"]
+            for i in range(N):
+                for j in range(i + 1, N):
+                    if not (opts.all or sc[i, j] < opts.score_thresh):
+                        continue
+                    r = Relate(
+                        ibs0=int(stats["ibs0"][i, j]),
+                        ibs2=int(
+                            stats["shared_hets"][i, j]
+                            + stats["shared_homs"][i, j]
+                        ),
+                        shared_homs=int(stats["shared_homs"][i, j]),
+                        shared_hets=int(stats["shared_hets"][i, j]),
+                        hets1=int(stats["hets1"][i, j]),
+                        homs1=int(stats["homs1"][i, j]),
+                        hets2=int(stats["hets1"][j, i]),
+                        homs2=int(stats["homs1"][j, i]),
+                    )
+                    r.hom_concord = cpp_div(
+                        float(r.shared_homs) - 2.0 * float(r.ibs0),
+                        float(min(r.homs1, r.homs2)),
+                    )
+                    r.relatedness = cpp_div(
+                        float(r.shared_hets) - 2.0 * float(r.ibs0),
+                        float(min(r.hets1, r.hets2)),
+                    )
+                    res = PairResult(
+                        i=i, j=j, score=float(sc[i, j]),
+                        n=int(stats["n"][i, j]), relate=r,
+                    )
+                    out.write(results_row(data, res, "-1", opts))
+                    out.write("\n")
+        return out.getvalue()
+
+    for opts in (Options(all=True), Options(all=False)):
+        got = emit(opts, use_native=True)
+        exp = emit(opts, use_native=False)
+        assert got == exp

@@ -592,7 +592,16 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     b_np = _wire(_pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK))
     A = jnp.asarray(a_np)
     B = jnp.asarray(b_np)
-    cov = data.cov
+    cov = data.cov.astype(np.float64)
+
+    from ntsm_tpu import native as _native
+
+    _lib = _native.load()
+    emit_native = (
+        _lib if _lib is not None and hasattr(_lib, "ntsm_format_eval_rows")
+        else None
+    )
+    samp_cache = _sample_strings(data) if emit_native is not None else None
 
     for blk0 in range(0, len(pairs), PAIR_BLOCK):
         blk = pairs[blk0 : blk0 + PAIR_BLOCK]
@@ -618,13 +627,74 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
             np.asarray(s1h).astype(np.float64) + np.asarray(s1l).astype(np.float64)
         )[:P]
         loglik = -2.0 * (J - s1)
+        iv = ii[:P].astype(np.int64)
+        jv = jj[:P].astype(np.int64)
+        nvec = tallies["n"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score_v = np.where(
+                nvec > 0,
+                loglik
+                / (cov[iv] * cov[jv]) ** opts.cov_skew
+                / np.maximum(nvec, 1).astype(np.float64),
+                DBL_MAX,
+            )
+        if emit_native is not None:
+            keep = (
+                np.ones(P, dtype=bool)
+                if opts.all
+                else score_v < opts.score_thresh
+            )
+            kk = np.nonzero(keep)[0]
+            if kk.size:
+                same = (
+                    np.where(
+                        score_v[kk] < opts.score_thresh, ord("1"), ord("0")
+                    ).astype(np.uint8)
+                    if opts.all
+                    else np.full(kk.size, ord("1"), dtype=np.uint8)
+                )
+                ibs0 = tallies["ibs0"][kk]
+                shet = tallies["shared_hets"][kk]
+                shom = tallies["shared_homs"][kk]
+                h1 = tallies["hets1"][kk]
+                h2 = tallies["hets2"][kk]
+                o1 = tallies["homs1"][kk]
+                o2 = tallies["homs2"][kk]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    relate = (shet - 2.0 * ibs0) / np.minimum(h1, h2).astype(
+                        np.float64
+                    )
+                    homc = (shom - 2.0 * ibs0) / np.minimum(o1, o2).astype(
+                        np.float64
+                    )
+                f3 = np.empty((kk.size, 3), np.float64)
+                f3[:, 0] = score_v[kk]
+                f3[:, 1] = relate
+                f3[:, 2] = homc
+                i9 = np.empty((kk.size, 9), np.int64)
+                i9[:, 0] = ibs0
+                i9[:, 1] = shet + shom
+                i9[:, 2] = h1
+                i9[:, 3] = h2
+                i9[:, 4] = shet
+                i9[:, 5] = o1
+                i9[:, 6] = o2
+                i9[:, 7] = shom
+                i9[:, 8] = nvec[kk]
+                d = (
+                    cloud[iv[kk], : opts.dim] - cloud[jv[kk], : opts.dim]
+                )
+                dist_v = (d * d).sum(axis=1)
+                _emit_rows_native(
+                    emit_native, data, out,
+                    np.ascontiguousarray(iv[kk].astype(np.int32)),
+                    np.ascontiguousarray(jv[kk].astype(np.int32)),
+                    f3, i9, same, dist_v, samp_w=samp_cache,
+                )
+            continue
         for t, (i, k) in enumerate(blk):
             n = int(tallies["n"][t])
-            if n > 0:
-                score = float(loglik[t]) / float(cov[i] * cov[k]) ** opts.cov_skew
-                score /= float(n)
-            else:
-                score = DBL_MAX
+            score = float(score_v[t])
             if not (opts.all or score < opts.score_thresh):
                 continue
             r = Relate(
@@ -736,7 +806,16 @@ def _write_rows_native(data, opts, out, stats) -> bool:
     ii = np.ascontiguousarray(iu.astype(np.int32))
     jj = np.ascontiguousarray(ju.astype(np.int32))
 
-    # per-sample string columns, formatted once
+    _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, None)
+    return True
+
+
+def _sample_strings(data):
+    """[N, 6] fixed-width per-sample byte columns (formatted once):
+    fname, cov, errorRate, miss, homs, hets."""
+    from ntsm_tpu.utils.formats import cpp_to_string
+
+    N = data.n_samples
     rows = [
         [
             str(data.filenames[s]),
@@ -753,10 +832,20 @@ def _write_rows_native(data, opts, out, stats) -> bool:
     for s, r in enumerate(rows):
         for c, x in enumerate(r):
             samp[s, c] = x.encode()
-    samp = np.ascontiguousarray(samp)
+    return np.ascontiguousarray(samp), w
 
+
+def _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dist, samp_w=None):
+    """Chunked native emission of prepared per-pair arrays (shared by the
+    -a and -p paths); dist is an f64 array for -p or None for the "-1"
+    column of -a."""
+    import ctypes
+
+    samp, w = samp_w if samp_w is not None else _sample_strings(data)
+    N = data.n_samples
+    P = int(ii.shape[0])
     CHROWS = 131072
-    cap = CHROWS * 384 + 8192
+    cap = min(P, CHROWS) * 384 + 8192
     buf = np.empty(cap, dtype=np.uint8)
     vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
     for c0 in range(0, P, CHROWS):
@@ -764,17 +853,18 @@ def _write_rows_native(data, opts, out, stats) -> bool:
         blk = c1 - c0
         f3b = np.ascontiguousarray(f3[c0:c1])
         i9b = np.ascontiguousarray(i9[c0:c1])
+        db = None if dist is None else np.ascontiguousarray(dist[c0:c1])
         while True:
             nb = lib.ntsm_format_eval_rows(
                 blk, vp(ii[c0:c1]), vp(jj[c0:c1]), vp(f3b), vp(i9b),
-                vp(same[c0:c1]), vp(samp), w, N, vp(buf), buf.shape[0],
+                vp(same[c0:c1]), (None if db is None else vp(db)),
+                vp(samp), w, N, vp(buf), buf.shape[0],
             )
             if nb >= 0:
                 break
             # pathological rows (e.g. DBL_MAX scores print 316 chars/field)
             buf = np.empty(buf.shape[0] * 4, dtype=np.uint8)
         out.write(buf[:nb].tobytes().decode("ascii"))
-    return True
 
 
 def compute_score_all_tpu(data: CountData, opts: Options, out) -> None:

@@ -123,6 +123,7 @@ def load():
                 ctypes.c_void_p,  # f3 f64 [P,3]
                 ctypes.c_void_p,  # i9 i64 [P,9]
                 ctypes.c_void_p,  # same u8
+                ctypes.c_void_p,  # dist f64 or None (-a prints "-1")
                 ctypes.c_void_p,  # samp bytes [n_samp,6] width w
                 ctypes.c_long,  # samp_w
                 ctypes.c_long,  # n_samp

@@ -679,13 +679,13 @@ static inline char* fmt_i64(char* p, int64_t v) {
 
 extern "C" long ntsm_format_eval_rows(
     long n_pairs, const int32_t* ii, const int32_t* jj, const double* f3,
-    const int64_t* i9, const uint8_t* same, const char* samp, long samp_w,
-    long n_samp, char* outbuf, long outcap) {
+    const int64_t* i9, const uint8_t* same, const double* dist,
+    const char* samp, long samp_w, long n_samp, char* outbuf, long outcap) {
     (void)n_samp;
     char* p = outbuf;
     char* const cap = outbuf + outcap;
     // worst case per float field: -1.8e308 in %f = 310 digits + '.' + 6
-    const long MAXROW = 3 * 330 + 9 * 20 + 6 * samp_w + 32;
+    const long MAXROW = 4 * 330 + 9 * 20 + 6 * samp_w + 32;
     for (long r = 0; r < n_pairs; ++r) {
         if (cap - p < MAXROW) return -1;
         const char* si = samp + (long)ii[r] * 6 * samp_w;
@@ -698,7 +698,12 @@ extern "C" long ntsm_format_eval_rows(
         // score \t same \t dist(-1) \t relate \t
         p += snprintf(p, 340, "%f", f[0]); *p++ = '\t';
         *p++ = (char)same[r]; *p++ = '\t';
-        *p++ = '-'; *p++ = '1'; *p++ = '\t';
+        if (dist) {  // -p mode: squared PCA distance; -a prints "-1"
+            p += snprintf(p, 340, "%f", dist[r]);
+        } else {
+            *p++ = '-'; *p++ = '1';
+        }
+        *p++ = '\t';
         p += snprintf(p, 340, "%f", f[1]); *p++ = '\t';
         // ibs0 \t ibs2 \t homConcord \t
         p = fmt_i64(p, g[0]); *p++ = '\t';

@@ -653,34 +653,17 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
                     if opts.all
                     else np.full(kk.size, ord("1"), dtype=np.uint8)
                 )
-                ibs0 = tallies["ibs0"][kk]
-                shet = tallies["shared_hets"][kk]
-                shom = tallies["shared_homs"][kk]
-                h1 = tallies["hets1"][kk]
-                h2 = tallies["hets2"][kk]
-                o1 = tallies["homs1"][kk]
-                o2 = tallies["homs2"][kk]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    relate = (shet - 2.0 * ibs0) / np.minimum(h1, h2).astype(
-                        np.float64
-                    )
-                    homc = (shom - 2.0 * ibs0) / np.minimum(o1, o2).astype(
-                        np.float64
-                    )
-                f3 = np.empty((kk.size, 3), np.float64)
-                f3[:, 0] = score_v[kk]
-                f3[:, 1] = relate
-                f3[:, 2] = homc
-                i9 = np.empty((kk.size, 9), np.int64)
-                i9[:, 0] = ibs0
-                i9[:, 1] = shet + shom
-                i9[:, 2] = h1
-                i9[:, 3] = h2
-                i9[:, 4] = shet
-                i9[:, 5] = o1
-                i9[:, 6] = o2
-                i9[:, 7] = shom
-                i9[:, 8] = nvec[kk]
+                f3, i9 = _pair_columns(
+                    score_v[kk],
+                    tallies["ibs0"][kk],
+                    tallies["shared_hets"][kk],
+                    tallies["shared_homs"][kk],
+                    tallies["hets1"][kk],
+                    tallies["hets2"][kk],
+                    tallies["homs1"][kk],
+                    tallies["homs2"][kk],
+                    nvec[kk],
+                )
                 d = (
                     cloud[iv[kk], : opts.dim] - cloud[jv[kk], : opts.dim]
                 )
@@ -753,9 +736,6 @@ def _write_rows_native(data, opts, out, stats) -> bool:
     lib = native.load()
     if lib is None or not hasattr(lib, "ntsm_format_eval_rows"):
         return False
-    import ctypes
-
-    from ntsm_tpu.utils.formats import cpp_to_string
 
     N = data.n_samples
     score = stats["score"]
@@ -775,34 +755,17 @@ def _write_rows_native(data, opts, out, stats) -> bool:
     if P == 0:
         return True
 
-    ibs0 = stats["ibs0"][iu, ju]
-    shet = stats["shared_hets"][iu, ju]
-    shom = stats["shared_homs"][iu, ju]
-    hets1 = stats["hets1"][iu, ju]
-    hets2 = stats["hets1"][ju, iu]
-    homs1 = stats["homs1"][iu, ju]
-    homs2 = stats["homs1"][ju, iu]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        relate = (shet - 2.0 * ibs0) / np.minimum(hets1, hets2).astype(
-            np.float64
-        )
-        homc = (shom - 2.0 * ibs0) / np.minimum(homs1, homs2).astype(
-            np.float64
-        )
-    f3 = np.empty((P, 3), np.float64)
-    f3[:, 0] = sc
-    f3[:, 1] = relate
-    f3[:, 2] = homc
-    i9 = np.empty((P, 9), np.int64)
-    i9[:, 0] = ibs0
-    i9[:, 1] = shet + shom  # ibs2
-    i9[:, 2] = hets1
-    i9[:, 3] = hets2
-    i9[:, 4] = shet
-    i9[:, 5] = homs1
-    i9[:, 6] = homs2
-    i9[:, 7] = shom
-    i9[:, 8] = stats["n"][iu, ju]
+    f3, i9 = _pair_columns(
+        sc,
+        stats["ibs0"][iu, ju],
+        stats["shared_hets"][iu, ju],
+        stats["shared_homs"][iu, ju],
+        stats["hets1"][iu, ju],
+        stats["hets1"][ju, iu],
+        stats["homs1"][iu, ju],
+        stats["homs1"][ju, iu],
+        stats["n"][iu, ju],
+    )
     ii = np.ascontiguousarray(iu.astype(np.int32))
     jj = np.ascontiguousarray(ju.astype(np.int32))
 
@@ -818,21 +781,48 @@ def _sample_strings(data):
     N = data.n_samples
     rows = [
         [
-            str(data.filenames[s]),
-            cpp_to_string(float(data.cov[s])),
-            cpp_to_string(float(data.error_rate[s])),
-            str(int(data.miss[s])),
-            str(int(data.homs[s])),
-            str(int(data.hets[s])),
+            str(data.filenames[s]).encode("utf-8"),
+            cpp_to_string(float(data.cov[s])).encode(),
+            cpp_to_string(float(data.error_rate[s])).encode(),
+            str(int(data.miss[s])).encode(),
+            str(int(data.homs[s])).encode(),
+            str(int(data.hets[s])).encode(),
         ]
         for s in range(N)
     ]
+    # width in BYTES (filenames may be non-ASCII UTF-8)
     w = max(len(x) for r in rows for x in r) + 1
     samp = np.zeros((N, 6), dtype=f"S{w}")
     for s, r in enumerate(rows):
         for c, x in enumerate(r):
-            samp[s, c] = x.encode()
+            samp[s, c] = x
     return np.ascontiguousarray(samp), w
+
+
+def _pair_columns(score, ibs0, shet, shom, h1, h2, o1, o2, n):
+    """The (f3, i9) column-order contract of ntsm_format_eval_rows,
+    assembled from per-pair vectors — ONE copy shared by the -a and -p
+    paths (relate/homConcord are the same IEEE f64 divisions as the
+    per-row cpp_div)."""
+    P = score.shape[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        relate = (shet - 2.0 * ibs0) / np.minimum(h1, h2).astype(np.float64)
+        homc = (shom - 2.0 * ibs0) / np.minimum(o1, o2).astype(np.float64)
+    f3 = np.empty((P, 3), np.float64)
+    f3[:, 0] = score
+    f3[:, 1] = relate
+    f3[:, 2] = homc
+    i9 = np.empty((P, 9), np.int64)
+    i9[:, 0] = ibs0
+    i9[:, 1] = shet + shom  # ibs2
+    i9[:, 2] = h1
+    i9[:, 3] = h2
+    i9[:, 4] = shet
+    i9[:, 5] = o1
+    i9[:, 6] = o2
+    i9[:, 7] = shom
+    i9[:, 8] = n
+    return f3, i9
 
 
 def _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dist, samp_w=None):
@@ -864,7 +854,7 @@ def _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dist, samp_w=None):
                 break
             # pathological rows (e.g. DBL_MAX scores print 316 chars/field)
             buf = np.empty(buf.shape[0] * 4, dtype=np.uint8)
-        out.write(buf[:nb].tobytes().decode("ascii"))
+        out.write(buf[:nb].tobytes().decode("utf-8"))
 
 
 def compute_score_all_tpu(data: CountData, opts: Options, out) -> None:

@@ -685,7 +685,8 @@ extern "C" long ntsm_format_eval_rows(
     char* p = outbuf;
     char* const cap = outbuf + outcap;
     // worst case per float field: -1.8e308 in %f = 310 digits + '.' + 6
-    const long MAXROW = 4 * 330 + 9 * 20 + 6 * samp_w + 32;
+    // 12 sample-string fields/row: fname1, fname2 + 10 interleaved
+    const long MAXROW = 4 * 330 + 9 * 20 + 12 * samp_w + 32;
     for (long r = 0; r < n_pairs; ++r) {
         if (cap - p < MAXROW) return -1;
         const char* si = samp + (long)ii[r] * 6 * samp_w;

@@ -36,7 +36,7 @@ def test_v3_fuzz_matches_golden(tmp_path, seed, k, batch, seglen, dense):
         rng, n_sites=n_sites, window=k + 12, k=k, path=sites_path
     )
     fq = str(tmp_path / "reads.fq")
-    genotype = rng.choice(["het", "hom", "ref"])
+    genotype = rng.choice(["het", "at", "hom"])  # het / AT-hom / CG-hom branches
     make_reads_fastq(
         rng,
         sites,

@@ -5,6 +5,7 @@ f32-accumulation error (measured worst 1.5e-5 abs over 30 trials)."""
 import io
 
 import numpy as np
+import pytest
 
 from ntsm_tpu.eval import exact
 from ntsm_tpu.eval.model import CountData
@@ -120,6 +121,10 @@ def test_pca_fuzz_tpu_vs_host(rng):
                 )
 
 
+@pytest.mark.skipif(
+    "not __import__('ntsm_tpu.native', fromlist=['native']).available()",
+    reason="native library unavailable",
+)
 def test_native_row_formatter_matches_python_loop(rng):
     """The native emission path is byte-identical to the Python loop on a
     synthetic stats matrix covering every formatting edge: DBL_MAX scores
@@ -208,3 +213,43 @@ def test_native_row_formatter_matches_python_loop(rng):
         got = emit(opts, use_native=True)
         exp = emit(opts, use_native=False)
         assert got == exp
+
+
+@pytest.mark.skipif(
+    "not __import__('ntsm_tpu.native', fromlist=['native']).available()",
+    reason="native library unavailable",
+)
+def test_pca_native_emission_matches_python_fallback(rng, monkeypatch):
+    """compute_score_pca_tpu's native emission block is byte-identical to
+    its own per-row Python fallback on the same stats (the -a path has
+    this pinned via _write_rows_native; this covers the separately
+    assembled -p block: dist column, keep-filtering, same column)."""
+    from ntsm_tpu import native
+    from ntsm_tpu.eval.tpu import compute_score_pca_tpu
+
+    for trial in range(3):
+        trng = np.random.default_rng(500 + trial)
+        N = int(trng.integers(4, 10))
+        L = int(trng.integers(20, 120))
+        mx = trng.poisson(8, size=(N, L, 2)).astype(np.int32)
+        mx[trng.random(mx.shape[:2]) < 0.2] = 0
+        dim = 3
+        cloud = trng.normal(0, 4, size=(N, dim))
+        opts = Options(all=bool(trial % 2), dim=dim, pca="unused.tsv")
+        data = CountData(
+            filenames=[f"s{i}_counts.txt" for i in range(N)],
+            locus_ids=[f"rs{i}" for i in range(L)],
+            distinct=np.full((L, 2), 13, dtype=np.int64),
+            max_counts=mx,
+            sum_counts=mx * 13,
+            raw_total_kmers=trng.integers(1, 10**9, N),
+            ks=np.full(N, 19, dtype=np.int64),
+            total_counts=mx.sum(axis=(1, 2)).astype(np.int64),
+        ).prepare(opts)
+        b_nat = io.StringIO()
+        compute_score_pca_tpu(data, opts, b_nat, cloud)
+        with monkeypatch.context() as m:
+            m.setattr(native, "load", lambda: None)
+            b_py = io.StringIO()
+            compute_score_pca_tpu(data, opts, b_py, cloud)
+        assert b_nat.getvalue() == b_py.getvalue(), trial

@@ -68,9 +68,17 @@ def _wire(x_np: np.ndarray) -> np.ndarray:
     eval wall time on slow links (N=3202 planes are ~2.5 GB as f32).  The
     device side widens back to f32 on entry (every consumer starts with
     .astype(float32), a no-op for an f32 input).  Values that don't fit
-    u16 fall back to f32 wire."""
+    u16 fall back to f32 wire; f32 is exact for integers up to 2^24, so a
+    count plane beyond that (unreachable for real coverage depths — 2^24
+    site hits of one allele in one sample) raises rather than silently
+    rounding before the exact-integer-tally claims."""
     if x_np.size and x_np.max() < 65536.0 and x_np.min() >= 0.0:
         return x_np.astype(np.uint16)
+    if x_np.size and x_np.max() > 2.0**24:
+        raise ValueError(
+            "count plane exceeds 2^24; the f32 wire fallback would round "
+            f"integer counts (max={x_np.max():.0f})"
+        )
     return x_np
 
 

@@ -113,3 +113,20 @@ def test_tpu_larger_synthetic_cohort(rng):
         assert stats["ibs0"][i, j] == rel.ibs0
         assert stats["shared_hets"][i, j] == rel.shared_hets
         assert stats["score"][i, j] == pytest.approx(score, rel=5e-6, abs=5e-6)
+
+
+def test_wire_u16_and_overflow_guard():
+    """_wire: u16 for small counts, f32 passthrough in between, and a loud
+    error (not silent rounding) past 2^24 where f32 loses integers."""
+    from ntsm_tpu.eval.tpu import _wire
+
+    small = np.array([[0.0, 65535.0]], dtype=np.float32)
+    assert _wire(small).dtype == np.uint16
+
+    mid = np.array([[70000.0]], dtype=np.float32)
+    out = _wire(mid)
+    assert out.dtype == np.float32 and out[0, 0] == 70000.0
+
+    huge = np.array([[2.0**24 + 2.0]], dtype=np.float64)
+    with pytest.raises(ValueError, match="2\\^24"):
+        _wire(huge)

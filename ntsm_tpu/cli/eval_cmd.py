@@ -159,17 +159,17 @@ def run(argv) -> int:
         return 1
 
     if opts.engine == "auto":
-        # exact (host f64, bit parity) runs at ~45 pairs/s on human-scale
-        # site sets; the device engine wins beyond ~30 samples now that
-        # the persistent compile cache makes warm starts the common case
-        opts = opts.replace(engine="exact" if len(files) <= 32 else "tpu")
-    elif opts.engine == "exact" and len(files) > 100 and not opts.only_merge:
+        # exact (host f64, bit parity) runs at ~2800 pairs/s via the native
+        # kernel; the device engine's fixed upload/compile cost only pays
+        # for itself at cohort scale (crossover ~500 samples measured)
+        opts = opts.replace(engine="exact" if len(files) <= 256 else "tpu")
+    elif opts.engine == "exact" and len(files) > 1000 and not opts.only_merge:
         n_pairs = len(files) * (len(files) - 1) // 2
         print(
-            f"ntsm eval: --engine exact scores ~45 pairs/s on the host; "
-            f"{n_pairs} pairs is roughly {n_pairs / 45 / 3600:.1f} h. "
-            "The default device engine produces identical integer columns "
-            "and scores within ~1e-9.",
+            f"ntsm eval: --engine exact scores ~2800 pairs/s on the host "
+            f"(native kernel); {n_pairs} pairs is roughly "
+            f"{n_pairs / 2800 / 60:.0f} min. The default device engine "
+            "produces identical integer columns and scores within ~1e-9.",
             file=sys.stderr,
         )
 

@@ -29,7 +29,20 @@ def compute_score_pca(data: CountData, opts: Options, out, cloud: np.ndarray) ->
     radii = search_radii(data, opts)
     out.write(HEADER)
     out.write("\n")
-    for i, k in pca_candidates(cloud, radii, opts.dim):
+    pairs = list(pca_candidates(cloud, radii, opts.dim))
+    if pairs:
+        from ntsm_tpu.eval.exact import _emit_pairs, native_pair_stats
+
+        ii = np.fromiter((p[0] for p in pairs), np.int32, len(pairs))
+        jj = np.fromiter((p[1] for p in pairs), np.int32, len(pairs))
+        got = native_pair_stats(data, opts, ii, jj)
+        if got is not None:
+            score, tallies = got
+            d = cloud[ii, : opts.dim] - cloud[jj, : opts.dim]
+            dist = (d * d).sum(axis=1)
+            _emit_pairs(data, opts, out, ii, jj, score, tallies, dist=dist)
+            return
+    for i, k in pairs:
         score, nv, rel = pair_score(data, i, k, opts)
         if opts.all or score < opts.score_thresh:
             dist = cpp_to_string(calc_distance_sq(cloud, i, k, opts.dim))

@@ -156,16 +156,154 @@ def results_row(
     return "\t".join(cols)
 
 
+def native_pair_stats(data: CountData, opts: Options, ii, jj):
+    """Vectorized pair statistics via the native kernel, or None.
+
+    Computes score + the eight tallies for an arbitrary pair list with the
+    exact engine's per-site f64 arithmetic in C
+    (native/exact_pairs.cpp:ntsm_exact_pairs) — ~2800 pairs/s at 96K sites
+    vs ~45 pairs/s for the Python loop on this host.  Only the final
+    summation order differs from pair_score (sequential vs numpy
+    pairwise), a <=1 ulp effect absorbed by the fixed 6-decimal output
+    formatting (byte-parity fuzzed in tests/test_exact_native.py).
+    Returns (score[P] f64, tallies dict of [P] int64) or None when the
+    native library is unavailable.
+    """
+    import ctypes
+    import os
+
+    if os.environ.get("NTSM_EXACT_LOOP"):
+        return None
+    from ntsm_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "ntsm_exact_pairs"):
+        return None
+
+    N, L = data.n_samples, data.n_sites
+    A = np.ascontiguousarray(data.max_counts[:, :, 0].astype(np.float64))
+    B = np.ascontiguousarray(data.max_counts[:, :, 1].astype(np.float64))
+    CLS = np.ascontiguousarray(data.cls)
+    S = np.ascontiguousarray(data.s_single)
+    ii = np.ascontiguousarray(ii, dtype=np.int32)
+    jj = np.ascontiguousarray(jj, dtype=np.int32)
+    P = int(ii.shape[0])
+    joint = np.empty(P, np.float64)
+    ss = np.empty(P, np.float64)
+    tal = np.empty((P, 8), np.int64)
+    vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    lib.ntsm_exact_pairs(
+        vp(A), vp(B), vp(CLS), vp(S), N, L, float(opts.min_cov),
+        vp(ii), vp(jj), P, vp(joint), vp(ss), vp(tal),
+    )
+    nvec = tal[:, 0]
+    loglik = -2.0 * (joint - ss)
+    cov = data.cov.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sc = loglik / (cov[ii] * cov[jj]) ** opts.cov_skew
+        sc = sc / nvec.astype(np.float64)
+    score = np.where(nvec > 0, sc, DBL_MAX)
+    tallies = dict(
+        n=nvec,
+        ibs0=tal[:, 1],
+        shared_hets=tal[:, 2],
+        shared_homs=tal[:, 3],
+        hets1=tal[:, 4],
+        hets2=tal[:, 5],
+        homs1=tal[:, 6],
+        homs2=tal[:, 7],
+    )
+    return score, tallies
+
+
+def _emit_pairs(data, opts, out, ii, jj, score, tallies, dist=None) -> None:
+    """Emit result rows for a scored pair list (native formatter when
+    available, Python loop otherwise); dist is a per-pair f64 array for
+    the -p path or None for the "-1" column."""
+    from ntsm_tpu.eval.tpu import _emit_rows_native, _pair_columns
+    from ntsm_tpu import native
+
+    keep = (
+        np.ones(score.shape[0], dtype=bool)
+        if opts.all
+        else score < opts.score_thresh
+    )
+    kk = np.nonzero(keep)[0]
+    if kk.size == 0:
+        return
+    lib = native.load()
+    t = tallies
+    if lib is not None and hasattr(lib, "ntsm_format_eval_rows"):
+        same = (
+            np.where(score[kk] < opts.score_thresh, ord("1"), ord("0")).astype(
+                np.uint8
+            )
+            if opts.all
+            else np.full(kk.size, ord("1"), dtype=np.uint8)
+        )
+        f3, i9 = _pair_columns(
+            score[kk], t["ibs0"][kk], t["shared_hets"][kk],
+            t["shared_homs"][kk], t["hets1"][kk], t["hets2"][kk],
+            t["homs1"][kk], t["homs2"][kk], t["n"][kk],
+        )
+        _emit_rows_native(
+            lib, data, out,
+            np.ascontiguousarray(np.asarray(ii)[kk].astype(np.int32)),
+            np.ascontiguousarray(np.asarray(jj)[kk].astype(np.int32)),
+            f3, i9, same,
+            None if dist is None else np.ascontiguousarray(dist[kk]),
+        )
+        return
+    for p in kk:
+        r = Relate(
+            ibs0=int(t["ibs0"][p]),
+            ibs2=int(t["shared_hets"][p] + t["shared_homs"][p]),
+            shared_homs=int(t["shared_homs"][p]),
+            shared_hets=int(t["shared_hets"][p]),
+            hets1=int(t["hets1"][p]),
+            homs1=int(t["homs1"][p]),
+            hets2=int(t["hets2"][p]),
+            homs2=int(t["homs2"][p]),
+        )
+        r.hom_concord = cpp_div(
+            float(r.shared_homs) - 2.0 * float(r.ibs0),
+            float(min(r.homs1, r.homs2)),
+        )
+        r.relatedness = cpp_div(
+            float(r.shared_hets) - 2.0 * float(r.ibs0),
+            float(min(r.hets1, r.hets2)),
+        )
+        res = PairResult(
+            i=int(ii[p]), j=int(jj[p]), score=float(score[p]),
+            n=int(t["n"][p]), relate=r,
+        )
+        d = "-1" if dist is None else cpp_to_string(float(dist[p]))
+        out.write(results_row(data, res, d, opts))
+        out.write("\n")
+
+
 def compute_score_all(data: CountData, opts: Options, out) -> None:
     """All-vs-all comparison (computeScore, CompareCounts.hpp:591-624)."""
     out.write(HEADER)
     out.write("\n")
     n = data.n_samples
-    for i in range(n):
-        for j in range(i + 1, n):
-            score, nv, rel = pair_score(data, i, j, opts)
+    iu, ju = np.triu_indices(n, 1)
+    # pair blocks bound the native kernel's working set and let large
+    # cohorts stream output instead of buffering every row's inputs
+    BLK = 1 << 18
+    for b0 in range(0, iu.shape[0], BLK):
+        ii, jj = iu[b0 : b0 + BLK], ju[b0 : b0 + BLK]
+        got = native_pair_stats(data, opts, ii, jj)
+        if got is not None:
+            score, tallies = got
+            _emit_pairs(data, opts, out, ii, jj, score, tallies)
+            continue
+        for i, j in zip(ii, jj):
+            score, nv, rel = pair_score(data, int(i), int(j), opts)
             if opts.all or score < opts.score_thresh:
-                res = PairResult(i=i, j=j, score=score, n=nv, relate=rel)
+                res = PairResult(
+                    i=int(i), j=int(j), score=score, n=nv, relate=rel
+                )
                 out.write(results_row(data, res, "-1", opts))
                 out.write("\n")
 

@@ -56,8 +56,9 @@ def load():
         _tried = True
         if os.environ.get("NTSM_NO_NATIVE"):
             return None
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-            os.path.join(_DIR, "fastx_reader.cpp")
+        _srcs = ("fastx_reader.cpp", "exact_pairs.cpp")
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+            os.path.getmtime(os.path.join(_DIR, s)) for s in _srcs
         ):
             if not _build():
                 return None
@@ -113,6 +114,23 @@ def load():
                 ctypes.POINTER(ctypes.c_long),
                 ctypes.POINTER(ctypes.c_long),
                 ctypes.POINTER(ctypes.c_long),
+            ]
+        if hasattr(lib, "ntsm_exact_pairs"):
+            lib.ntsm_exact_pairs.restype = None
+            lib.ntsm_exact_pairs.argtypes = [
+                ctypes.c_void_p,  # A f64 [N,L]
+                ctypes.c_void_p,  # B f64 [N,L]
+                ctypes.c_void_p,  # CLS u8 [N,L]
+                ctypes.c_void_p,  # S f64 [N,L] s_single
+                ctypes.c_long,  # N
+                ctypes.c_long,  # L
+                ctypes.c_double,  # min_cov
+                ctypes.c_void_p,  # ii i32 [P]
+                ctypes.c_void_p,  # jj i32 [P]
+                ctypes.c_long,  # P
+                ctypes.c_void_p,  # joint f64 [P]
+                ctypes.c_void_p,  # ss f64 [P]
+                ctypes.c_void_p,  # tallies i64 [P,8]
             ]
         if hasattr(lib, "ntsm_format_eval_rows"):
             lib.ntsm_format_eval_rows.restype = ctypes.c_long

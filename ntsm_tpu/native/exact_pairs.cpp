@@ -1,0 +1,102 @@
+// Vectorized host pair scorer for the exact (f64) eval engine.
+//
+// The reference scores each sample pair with a sequential O(sites) loop
+// (computeLogLikelihood + calcRelatedness, src/CompareCounts.hpp:968-1099,
+// 1144-1196).  The pure-Python exact engine replicates that per pair at
+// ~45 pairs/s on this 1-core host; numpy's elementwise broadcast path
+// measured ~30M site-cells/s — far below what the AVX-512 units can do.
+// This kernel computes, for a block of (i, j) pairs, everything the
+// output row needs, in two auto-vectorizable passes over the site axis:
+//
+//   pass 1 (int8):  the eight genotype tallies from the class planes
+//                   (n, ibs0, sharedHet, sharedHom, het1/2, hom1/2)
+//   pass 2 (f64):   sumLogPJoint and sumLogPSingle1+2 with the exact
+//                   per-site arithmetic of the Python oracle (masked
+//                   where-then-divide; see eval/exact.py:joint_sum)
+//
+// Per-site f64 values are bit-identical to the Python loop; only the
+// order of the final summation differs (sequential here, numpy pairwise
+// there) — a <=1 ulp effect that the fixed 6-decimal output formatting
+// absorbs (verified by byte-parity fuzz tests, tests/test_exact_native.py).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// one pair's integer tallies; L-site loop over uint8 class planes.
+// cls encoding matches eval/model.py: 0=UNKNOWN 1=HET 2=HOM_AT 3=HOM_CG
+inline void tally_pair(const uint8_t* c1, const uint8_t* c2, long L,
+                       int64_t* out /* [8] */) {
+  long n = 0, ibs0 = 0, shet = 0, shom = 0, h1 = 0, o1 = 0, h2 = 0, o2 = 0;
+  for (long s = 0; s < L; ++s) {
+    int a = c1[s], b = c2[s];
+    int v = (a != 0) & (b != 0);
+    int het1 = (a == 1), het2 = (b == 1);
+    int hat1 = (a == 2), hat2 = (b == 2);
+    int hcg1 = (a == 3), hcg2 = (b == 3);
+    n += v;
+    shet += v & het1 & het2;
+    shom += v & ((hat1 & hat2) | (hcg1 & hcg2));
+    ibs0 += v & ((hat1 & hcg2) | (hcg1 & hat2));
+    h1 += v & het1;
+    h2 += v & het2;
+    o1 += v & (hat1 | hcg1);
+    o2 += v & (hat2 | hcg2);
+  }
+  out[0] = n;
+  out[1] = ibs0;
+  out[2] = shet;
+  out[3] = shom;
+  out[4] = h1;
+  out[5] = h2;
+  out[6] = o1;
+  out[7] = o2;
+}
+
+// one pair's f64 sums: joint = sumLogPJoint over valid sites, ss = the
+// (s_single1 + s_single2) sum over the same sites.  Branchless so the
+// compiler can use masked vector blends + vdivpd.
+inline void sums_pair(const double* a1, const double* b1, const double* a2,
+                      const double* b2, const double* s1, const double* s2,
+                      long L, double mc, double* joint_out, double* ss_out) {
+  double js = 0.0, ss = 0.0;
+  for (long s = 0; s < L; ++s) {
+    double av = a1[s], bv = b1[s], aw = a2[s], bw = b2[s];
+    // pair validity: each sample covered on at least one allele
+    bool v = ((av > mc) | (bv > mc)) & ((aw > mc) | (bw > mc));
+    double m = v ? 1.0 : 0.0;
+    double aa = av + aw, bb = bv + bw;
+    double den = aa + bb;
+    double dsafe = den > 0.0 ? den : 1.0;  // valid implies den > 0
+    double fa = aa > mc ? aa / dsafe : 0.0;
+    double fb = bb > mc ? bb / dsafe : 0.0;
+    js += m * (aa * fa + bb * fb);
+    ss += m * (s1[s] + s2[s]);
+  }
+  *joint_out = js;
+  *ss_out = ss;
+}
+
+}  // namespace
+
+extern "C" {
+
+// A/B: [N, L] f64 max-count planes (allele AT / CG); CLS: [N, L] u8 class
+// planes; S: [N, L] f64 s_single plane; ii/jj: [P] pair indices.
+// Outputs: joint [P], ss [P] (s1+s2 sums), tallies [P, 8] int64 in the
+// order (n, ibs0, sharedHets, sharedHoms, hets1, hets2, homs1, homs2).
+void ntsm_exact_pairs(const double* A, const double* B, const uint8_t* CLS,
+                      const double* S, long N, long L, double mc,
+                      const int32_t* ii, const int32_t* jj, long P,
+                      double* joint, double* ss, int64_t* tallies) {
+  (void)N;
+  for (long p = 0; p < P; ++p) {
+    const long i = ii[p], j = jj[p];
+    tally_pair(CLS + i * L, CLS + j * L, L, tallies + p * 8);
+    sums_pair(A + i * L, B + i * L, A + j * L, B + j * L, S + i * L,
+              S + j * L, L, mc, joint + p, ss + p);
+  }
+}
+
+}  // extern "C"

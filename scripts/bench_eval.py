@@ -98,6 +98,7 @@ def main() -> None:
     if "--ref" in sys.argv:
         ref_bin = sys.argv[sys.argv.index("--ref") + 1]
     pca_mode = "--pca" in sys.argv
+    exact_mode = "--exact" in sys.argv
     dirty_frac = 0.3 if pca_mode else 0.0
 
     rng = np.random.default_rng(123)
@@ -110,8 +111,12 @@ def main() -> None:
 
     # --- our engine, end-to-end through the CLI code path ---
     from ntsm_tpu.eval.model import load_count_data
-    from ntsm_tpu.eval.tpu import compute_score_all_tpu
     from ntsm_tpu.options import Options
+
+    if exact_mode:
+        from ntsm_tpu.eval.exact import compute_score_all as _score_all
+    else:
+        from ntsm_tpu.eval.tpu import compute_score_all_tpu as _score_all
 
     opts = Options(all=True)
     t0 = time.perf_counter()
@@ -119,14 +124,16 @@ def main() -> None:
     t_load = time.perf_counter() - t0
     out = open(os.path.join(tmp, "ours.tsv"), "w")
     t1 = time.perf_counter()
-    compute_score_all_tpu(data, opts, out)
+    _score_all(data, opts, out)
     out.close()
     t_score = time.perf_counter() - t1
     wall = t_load + t_score
     print(f"# ours: load {t_load:.1f} s, score+format {t_score:.1f} s",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "eval_pairs_per_s", "engine": "tpu", "n_samples": n_samples,
+        "metric": "eval_pairs_per_s",
+        "engine": "exact" if exact_mode else "tpu",
+        "n_samples": n_samples,
         "value": round(n_pairs / wall, 1), "wall_s": round(wall, 2),
     }))
 

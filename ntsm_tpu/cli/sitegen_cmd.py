@@ -1,7 +1,7 @@
 """``ntsm sitegen`` — replaces the ntsmSiteGen make pipeline
 (ntsmSiteGen:1-3, ntsm-scripts/makefile:32-34).
 
-    ntsm sitegen generate-sites name=prefix ref=ref.fa vcf=snps.vcf [w=31] [k=19] [mismatch=1]
+    ntsm sitegen generate-sites name=prefix ref=ref.fa vcf=snps.vcf [w=31] [k=19] [mismatch=1] [indel=1]
     ntsm sitegen generate-pca-rot-mat name=prefix ref=ref.fa multivcf=m.vcf sites=prefix_n10.fa [dims=20]
 """
 
@@ -44,6 +44,7 @@ def run(argv) -> int:
             window=int(kv.get("w", 31)),
             k=int(kv.get("k", 19)),
             mismatch=bool(int(kv.get("mismatch", 1))),
+            indel=bool(int(kv.get("indel", 1))),
         )
         return 0
     if target == "generate-pca-rot-mat":

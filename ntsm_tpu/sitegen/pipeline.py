@@ -207,11 +207,47 @@ def one_mismatch_neighbors(kmer: bytes, k: int) -> np.ndarray:
     return out[out != np.uint64(self_code)]
 
 
+def _canon_of_codes(codes, klen: int) -> int:
+    """Canonical 2-bit encoding of a base-code sequence of length klen."""
+    mask = int(kmer_mask(klen))
+    fw = 0
+    rv = 0
+    for j in range(klen):
+        fw = (fw << 2) | int(codes[j])
+        rv |= (3 ^ int(codes[j])) << (2 * j)
+    return min(fw & mask, rv & mask)
+
+
+def indel_neighbors(kmer: bytes, k: int):
+    """Canonical encodings of the edit-distance-1 indel neighborhood.
+
+    Returns (del_codes, ins_codes): the deduped canonical codes of the k
+    length-(k-1) single-deletion patterns and the 4(k+1) length-(k+1)
+    single-insertion patterns.  A genome occurrence of a deletion pattern
+    is a locus aligning to the k-mer with one genome-side deletion; an
+    insertion pattern occurrence aligns with one genome-side insertion —
+    together with the substitution neighborhood this is bwa `aln -n 1`'s
+    full edit-distance-1 reach (ntsm-scripts/makefile:100-104)."""
+    base = encode_bytes(kmer).astype(np.int64)
+    dels = {
+        _canon_of_codes(np.delete(base, p), k - 1) for p in range(k)
+    }
+    inss = set()
+    for p in range(k + 1):
+        for b in range(4):
+            inss.add(_canon_of_codes(np.insert(base, p, b), k + 1))
+    return (
+        np.array(sorted(dels), dtype=np.uint64),
+        np.array(sorted(inss), dtype=np.uint64),
+    )
+
+
 def filter_unique(
     sites: list[SiteCandidate],
     ref_path: str,
     k: int,
     mismatch: bool = True,
+    indel: bool = True,
     err=sys.stderr,
 ):
     """Stage 2: drop sub-k-mers that are not genome-unique.
@@ -221,18 +257,25 @@ def filter_unique(
     this is essential for VARIANT k-mers, which have zero exact genome hits
     and exactly one 1-mismatch hit (the reference allele's locus).  With
     mismatch=True (default) we count exact + single-substitution neighbor
-    LOCI (deduped canonical neighborhood) and require the total to be
-    exactly 1 — i.e. exactly one genome locus within Hamming distance 1,
-    strand-canonical (validated against a brute-force string oracle in
-    tests/test_sitegen_uniqueness.py); with mismatch=False only exact
-    occurrences are counted (stricter on REF, unusable for VAR — kept for
-    diagnostics).
+    LOCI (deduped canonical neighborhood, validated against a brute-force
+    string oracle in tests/test_sitegen_uniqueness.py); with indel=True
+    (default) the edit-distance-1 reach is completed with the length-(k∓1)
+    single-deletion/insertion patterns, so a k-mer whose only extra genome
+    hit is via one indel is dropped exactly as bwa drops it.  The total
+    locus count must be exactly 1.
 
-    Known divergence from bwa: `aln -n 1` also admits 1-INDEL alignments
-    (a k-mer whose only extra genome hit is via an insertion/deletion is
-    dropped by bwa but kept here); Hamming-only is the deliberate choice —
-    indel-shifted k-length windows almost always also differ by >=2
-    substitutions, and the counting engine itself matches exactly."""
+    Self-overlap correction: every exact occurrence of the k-mer itself
+    contains its own (k-1) prefix/suffix deletion patterns and extends to
+    two flanking (k+1) insertion patterns — those are the SAME locus, not
+    extra hits, so 2·exact is subtracted from each indel category
+    (clamped at 0 for chromosome-boundary occurrences whose flanking
+    insertion pattern does not exist).  Remaining divergence from bwa is
+    the locus bookkeeping of multiply-reachable repeats (e.g. a
+    substitution hit whose edge deletion pattern also matches inflates an
+    already-repetitive count) — never flips a unique verdict.
+
+    mismatch=False counts only exact occurrences (stricter on REF,
+    unusable for VAR — kept for diagnostics) and implies no indel pass."""
     all_kmers = []
     for site in sites:
         for _, kmer in site.at_kmers + site.cg_kmers:
@@ -245,7 +288,8 @@ def filter_unique(
     counts = genome_kmer_counts(ref_path, cand, k)
     count_of = dict(zip(cand.tolist(), counts.tolist()))
 
-    total_hits: dict[bytes, int] = {km: count_of[enc_of[km]] for km in uniq_kmers}
+    exact_hits: dict[bytes, int] = {km: count_of[enc_of[km]] for km in uniq_kmers}
+    total_hits = dict(exact_hits)
     if mismatch:
         neigh_sets = {km: one_mismatch_neighbors(km, k) for km in uniq_kmers}
         all_neigh = np.unique(np.concatenate(list(neigh_sets.values())))
@@ -253,6 +297,19 @@ def filter_unique(
         ncount_of = dict(zip(all_neigh.tolist(), ncounts.tolist()))
         for km, ns in neigh_sets.items():
             total_hits[km] += sum(ncount_of[int(x)] for x in ns)
+    if mismatch and indel:
+        ind_sets = {km: indel_neighbors(km, k) for km in uniq_kmers}
+        del_all = np.unique(np.concatenate([d for d, _ in ind_sets.values()]))
+        ins_all = np.unique(np.concatenate([i for _, i in ind_sets.values()]))
+        dcounts = genome_kmer_counts(ref_path, del_all, k - 1)
+        icounts = genome_kmer_counts(ref_path, ins_all, k + 1)
+        dcount_of = dict(zip(del_all.tolist(), dcounts.tolist()))
+        icount_of = dict(zip(ins_all.tolist(), icounts.tolist()))
+        for km, (ds, ins) in ind_sets.items():
+            e = exact_hits[km]
+            dh = sum(dcount_of[int(x)] for x in ds)
+            ih = sum(icount_of[int(x)] for x in ins)
+            total_hits[km] += max(0, dh - 2 * e) + max(0, ih - 2 * e)
 
     dropped = 0
     for site in sites:
@@ -297,10 +354,11 @@ def generate_sites(
     window: int = 31,
     k: int = 19,
     mismatch: bool = True,
+    indel: bool = True,
     err=sys.stderr,
 ):
     sites = extract_candidates(vcf, ref, window=window, k=k, err=err)
-    filter_unique(sites, ref, k, mismatch=mismatch, err=err)
+    filter_unique(sites, ref, k, mismatch=mismatch, indel=indel, err=err)
     write_tiers(sites, name, window, k, err=err)
     return sites
 

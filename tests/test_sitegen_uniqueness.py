@@ -2,10 +2,10 @@
 
 The reference pipeline keeps a sub-k-mer iff `bwa aln -n 1` reports
 exactly one genome locus (X0+X1 == 1, ntsm-scripts/makefile:100-104,
-filterRepetiveSNP.pl:35-54).  Our filter_unique implements the Hamming
-subset of that contract: exactly one genome locus within Hamming
-distance 1, strand-canonical (the deliberate indel divergence is
-documented in sitegen/pipeline.py).  These tests validate the
+filterRepetiveSNP.pl:35-54).  Our filter_unique counts genome
+loci over the full edit-distance-1 neighborhood (substitutions plus
+single-indel patterns, strand-canonical, with self-overlap correction;
+see sitegen/pipeline.py).  These tests validate the
 implementation against an independent character-level oracle and pin a
 worked example with engineered repeats — the cases bwa's X0/X1 counting
 distinguishes.
@@ -67,7 +67,7 @@ def at_cg_alt(ref_base: str, rng) -> str:
     return rng.choice(["C", "G"]) if ref_base in "AT" else rng.choice(["A", "T"])
 
 
-def run_filter(tmp_path, genome: bytes, snps):
+def run_filter(tmp_path, genome: bytes, snps, indel=True):
     ref_path, vcf_path = write_world(tmp_path, genome, snps)
     err = io.StringIO()
     sites = extract_candidates(vcf_path, ref_path, err=err)
@@ -78,7 +78,7 @@ def run_filter(tmp_path, genome: bytes, snps):
         }
         for s in sites
     }
-    filter_unique(sites, ref_path, K, mismatch=True, err=err)
+    filter_unique(sites, ref_path, K, mismatch=True, indel=indel, err=err)
     return sites, pre
 
 
@@ -167,3 +167,87 @@ def test_near_palindrome_neighbor_counts_locus_once(tmp_path):
     # no code repeats
     assert self_code not in set(int(x) for x in neigh)
     assert len(set(int(x) for x in neigh)) == len(neigh)
+
+
+def _site_ref_kmer(genome: bytes, pos: int, p: int) -> bytes:
+    """REF-allele sub-k-mer p of the window centered at 1-based pos."""
+    start = pos - 1 - HALF
+    return bytes(genome[start + p : start + p + K])
+
+
+def test_indel_repeat_dropped_only_with_indel_pass(rng, tmp_path):
+    """A k-mer unique under Hamming-1 but with a second genome locus one
+    DELETION away (bwa `aln -n 1` reports X0+X1=2 and drops it,
+    filterRepetiveSNP.pl:35-54): kept by the Hamming-only filter,
+    dropped by the edit-distance-1 filter."""
+    genome = bytearray(random_genome(rng, 1600))
+    pos = 300
+    ref = chr(genome[pos - 1])
+    snps = [(pos, ref, at_cg_alt(ref, rng))]
+    target_p = 2  # a REF sub-k-mer away from the SNP column
+    km = _site_ref_kmer(bytes(genome), pos, target_p)
+    deleted = km[:9] + km[10:]  # drop the middle base -> 18-bp pattern
+    genome[1200 : 1200 + K - 1] = deleted
+    genome_b = bytes(genome)
+    assert oracle_loci(genome_b, km) == 1  # Hamming-1-unique by oracle
+
+    ref_attr = "at_kmers" if ref in "AT" else "cg_kmers"
+    sites_h, pre = run_filter(tmp_path, genome_b, snps, indel=False)
+    (sh,) = sites_h
+    assert target_p in {p for p, _ in getattr(sh, ref_attr)}
+
+    sites_e, _ = run_filter(tmp_path, genome_b, snps, indel=True)
+    (se,) = sites_e
+    # only the REF-allele k-mer has the planted indel twin; the VAR-allele
+    # k-mer at the same position stays unique
+    assert target_p not in {p for p, _ in getattr(se, ref_attr)}
+
+
+def test_insertion_repeat_dropped_only_with_indel_pass(rng, tmp_path):
+    """Same for a second locus one INSERTION away (genome carries the
+    k-mer with an extra base)."""
+    genome = bytearray(random_genome(rng, 1600))
+    pos = 300
+    ref = chr(genome[pos - 1])
+    snps = [(pos, ref, at_cg_alt(ref, rng))]
+    target_p = 3
+    km = _site_ref_kmer(bytes(genome), pos, target_p)
+    inserted = km[:9] + b"G" + km[9:]  # 20-bp pattern
+    genome[1200 : 1200 + K + 1] = inserted
+    genome_b = bytes(genome)
+    # the inserted copy may create <=1-mismatch 19-mers; require the
+    # engineered case to be Hamming-clean so the verdict flip is pure indel
+    if oracle_loci(genome_b, km) != 1:
+        pytest.skip("random genome collided with the engineered insert")
+
+    ref_attr = "at_kmers" if ref in "AT" else "cg_kmers"
+    sites_h, _ = run_filter(tmp_path, genome_b, snps, indel=False)
+    (sh,) = sites_h
+    assert target_p in {p for p, _ in getattr(sh, ref_attr)}
+
+    sites_e, _ = run_filter(tmp_path, genome_b, snps, indel=True)
+    (se,) = sites_e
+    assert target_p not in {p for p, _ in getattr(se, ref_attr)}
+
+
+def test_indel_self_overlap_keeps_clean_kmers(rng, tmp_path):
+    """The self-overlap correction: a clean unique k-mer's own exact
+    occurrence contains its prefix/suffix deletion patterns and two
+    flanking insertion patterns — those must NOT count as extra loci,
+    including at a chromosome boundary (window starting at base 0, where
+    the left flanking insertion pattern does not exist)."""
+    genome = bytearray(random_genome(rng, 1200))
+    edge_pos = HALF + 1  # window spans genome[0:WINDOW]
+    mid_pos = 600
+    snps = []
+    for pos in (edge_pos, mid_pos):
+        ref = chr(genome[pos - 1])
+        snps.append((pos, ref, at_cg_alt(ref, rng)))
+    genome_b = bytes(genome)
+    sites, pre = run_filter(tmp_path, genome_b, snps, indel=True)
+    for s in sites:
+        for attr in ("at", "cg"):
+            kept = {p for p, _ in getattr(s, f"{attr}_kmers")}
+            for p, km in pre[s.snp_id][attr]:
+                want = oracle_loci(genome_b, km) == 1
+                assert (p in kept) == want, (s.snp_id, attr, p)

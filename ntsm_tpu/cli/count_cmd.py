@@ -156,6 +156,17 @@ def run(argv) -> int:
         # compute phase (local-mesh merges spin up gloo contexts too)
         shield = stdout_shield()
         my_files = host_file_shard(files)
+        if opts.checkpoint:
+            # per-process snapshots: each host checkpoints its own file
+            # shard under a rank-tagged path (the shard's filenames are in
+            # the snapshot signature, so a resume with a different world
+            # size errors loudly instead of silently mixing shards)
+            opts = opts.replace(
+                checkpoint=(
+                    f"{opts.checkpoint}.rank{jax.process_index()}"
+                    f"of{jax.process_count()}"
+                )
+            )
         if opts.verbose:
             print(
                 f"ntsm count: process {jax.process_index()}/"
@@ -181,9 +192,20 @@ def run(argv) -> int:
             )
 
         if distributed:
+            from ntsm_tpu.count.golden import max_counts_threshold
             from ntsm_tpu.parallel.distributed import merge_count_results
 
-            result = merge_count_results(result)
+            local_early = result.early_term
+            result = merge_count_results(
+                result,
+                max_counts_thresh=max_counts_threshold(
+                    table.n_kmers, opts.cov_thresh
+                ),
+            )
+            if result.early_term and not local_early:
+                # the merged cohort crossed -m even though this host's
+                # local count did not (per-host checks are local-only)
+                print("Reached desired (-m) threshold", file=sys.stderr)
 
     if distributed:
         import jax

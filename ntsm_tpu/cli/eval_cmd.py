@@ -194,9 +194,21 @@ def run(argv) -> int:
         # (the global-mesh collectives inside compute_pair_stats_tpu need
         # all processes in lockstep); gloo/collective banners go to stdout,
         # so the whole compute runs under the stdout shield with the table
-        # buffered — process 0 emits it afterwards, the rest stay silent
+        # buffered — process 0 emits it afterwards.  Non-zero processes
+        # only need to run the collectives: they write into a discarding
+        # sink instead of holding the whole formatted table (~1 GB at
+        # N=3202) alongside the count planes.
         shield = stdout_shield()
-        out = emit_after = io.StringIO()
+        if jax.process_index() == 0:
+            out = emit_after = io.StringIO()
+        else:
+
+            class _Discard:
+                def write(self, _s):
+                    return len(_s)
+
+            out = _Discard()
+            emit_after = None
         # the distributed path is the device engine by definition
         opts = opts.replace(engine="tpu")
 
@@ -205,11 +217,12 @@ def run(argv) -> int:
     data = load_count_data(files, opts)
     with shield:
         run_eval(data, opts, out)
-    if emit_after is not None:
+    if distributed:
         import jax
 
         if jax.process_index() != 0:
             return 0
+    if emit_after is not None:
         sys.stdout.write(emit_after.getvalue())
     from ntsm_tpu.cli.count_cmd import _rss_kb
 

@@ -131,16 +131,28 @@ def allreduce_sum(x_np):
     return res
 
 
-def merge_count_results(result):
+def merge_count_results(result, max_counts_thresh: float | None = None):
     """Combine per-host CountResults into the global one (counts psum'd,
     totals summed, early-term OR'd) — the cross-host half of the count
     merge; the intra-host half is mesh.merge_counts_across_devices.
+
+    `max_counts_thresh` is the -m early-termination threshold
+    (max_counts_threshold(n_kmers, cov_thresh), FingerPrint.hpp:41-43):
+    each host only compares it against its LOCAL hit count during the
+    run, so a cohort whose merged total crosses the threshold with no
+    single host crossing it would otherwise report early_term=False;
+    the merged total is rechecked here so the -m verdict has global
+    granularity.  (Hosts still *count* to their local threshold — the
+    distributed -m run reads up to num_hosts× the single-host bases, a
+    documented cost of collective-free steady state.)
 
     Replaces nothing in the reference (it is single-process,
     SURVEY §2.3); semantically equal to merging per-host count files via
     `ntsm eval --only_merge` (CompareCounts::mergeCounts,
     src/CompareCounts.hpp:626-674).
     """
+    import math
+
     import jax
     import numpy as np
 
@@ -164,11 +176,18 @@ def merge_count_results(result):
         ]
     )
     total = allreduce_sum(packed)
+    early = bool(total[-1] > 0)
+    if (
+        max_counts_thresh is not None
+        and max_counts_thresh != 0
+        and not math.isinf(max_counts_thresh)
+    ):
+        early = early or int(total[-4]) > max_counts_thresh
     return CountResult(
         counts=total[:-5],
         total_kmers=int(total[-5]),
         total_hits=int(total[-4]),
         total_bases=int(total[-3]),
         total_reads=int(total[-2]),
-        early_term=bool(total[-1] > 0),
+        early_term=early,
     )

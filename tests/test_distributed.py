@@ -180,3 +180,75 @@ def test_merge_count_results_single_process_identity():
         early_term=False,
     )
     assert merge_count_results(r) is r
+
+
+def test_four_process_count_matches_golden(rng, tmp_path):
+    """4-process cluster (the multi-host claim beyond pairwise): stride
+    sharding over 4 processes x 4 CPU devices, merged output byte-identical
+    to the single-process golden count."""
+    sites_path, paths = _world(rng, tmp_path, n_files=6)
+    expect = _golden_stdout(sites_path, paths)
+
+    outs = _run_cluster(["count", "-s", sites_path] + paths, 4, tmp_path)
+    for rc, out, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1].decode() == expect
+    for rc, out, err in outs[1:]:
+        assert out == b""
+
+
+def test_distributed_checkpoint_rank_tagged_and_resumable(rng, tmp_path):
+    """--checkpoint under --distributed: each process snapshots its own
+    file shard under a rank-tagged path; a re-run against the completed
+    snapshots resumes (skipping counted batches) and emits byte-identical
+    output."""
+    sites_path, paths = _world(rng, tmp_path, n_files=4)
+    expect = _golden_stdout(sites_path, paths)
+    ck = str(tmp_path / "snap.npz")
+
+    argv = [
+        "count", "--checkpoint", ck, "--checkpoint-every", "1",
+        "-s", sites_path,
+    ] + paths
+    outs = _run_cluster(argv, 2, tmp_path)
+    for rc, out, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1].decode() == expect
+    assert os.path.exists(ck + ".rank0of2")
+    assert os.path.exists(ck + ".rank1of2")
+    assert not os.path.exists(ck)
+
+    # resume: snapshots cover the whole run; output identical
+    outs2 = _run_cluster(argv, 2, tmp_path)
+    for rc, out, err in outs2:
+        assert rc == 0, err.decode()
+    assert outs2[0][1].decode() == expect
+    assert b"Resuming from checkpoint" in outs2[0][2]
+
+
+def test_distributed_early_term_rechecked_on_merged_totals(rng, tmp_path):
+    """-m threshold between the largest per-host hit count and the global
+    total: no host terminates early locally, but the merged result must
+    report the threshold as reached (global granularity recheck in
+    merge_count_results)."""
+    from ntsm_tpu.count.golden import count_files
+    from ntsm_tpu.io.sites import load_site_table
+    from ntsm_tpu.parallel.distributed import host_file_shard
+
+    sites_path, paths = _world(rng, tmp_path, n_files=4)
+    table = load_site_table(sites_path, 19, allow_dupes=False)
+    shard_hits = [
+        count_files(table, host_file_shard(paths, process_id=p, num=2)).total_hits
+        for p in range(2)
+    ]
+    total = sum(shard_hits)
+    thr = (max(shard_hits) + total) / 2.0
+    assert max(shard_hits) < thr < total
+    m = 2.0 * thr / table.n_kmers  # max_counts = n_kmers*m/2 == thr
+
+    outs = _run_cluster(
+        ["count", "-m", f"{m:.9f}", "-s", sites_path] + paths, 2, tmp_path
+    )
+    for rc, out, err in outs:
+        assert rc == 0, err.decode()
+    assert b"Reached desired (-m) threshold" in outs[0][2]

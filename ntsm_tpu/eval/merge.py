@@ -21,8 +21,12 @@ def merge_counts(data: CountData, out_path: str) -> None:
                     f"{data.filenames[j]} (CompareCounts.hpp:631-635)"
                 )
     tk = int(data.raw_total_kmers.sum())
-    mc = data.max_counts.sum(axis=0)
-    sc = data.sum_counts.sum(axis=0)
+    if data.site_acc is not None:  # wire mode: sums were accumulated at parse
+        mc = data.site_acc[:, 0:2]
+        sc = data.site_acc[:, 2:4]
+    else:
+        mc = data.max_counts.sum(axis=0)
+        sc = data.sum_counts.sum(axis=0)
     text = format_merged_counts(data.locus_ids, mc, sc, data.distinct, tk, int(ks[0]))
     with open(out_path, "w") as fh:
         fh.write(text)

@@ -63,8 +63,7 @@ def load_rotation(path: str, n_sites: int) -> np.ndarray:
 
 def quantized_genotype(data: CountData, opts: Options) -> np.ndarray:
     """[N, L] float64 quantized genotype fraction, 0 where missing (:173-199)."""
-    a = data.max_counts[:, :, 0]
-    b = data.max_counts[:, :, 1]
+    a, b = data.counts_ab()
     mc = opts.min_cov
     ca = np.where(a > mc, a, 0).astype(np.float64)
     cb = np.where(b > mc, b, 0).astype(np.float64)

@@ -82,6 +82,47 @@ def _wire(x_np: np.ndarray) -> np.ndarray:
     return x_np
 
 
+def _wire_plane(counts: np.ndarray, allele: int, c: int) -> np.ndarray:
+    """One allele's padded wire plane straight from the integer
+    [N, L, 2] counts — u16 without an f32 intermediate.
+
+    The f32 round-trip (strided astype + pad + u16 cast) was ~22 s of pure
+    host time for an N=3202 cohort; this is two passes (int max + one
+    strided int->u16 copy into the padded buffer).  Semantics identical to
+    _wire(_pad_sites(x.astype(f32), c)): u16 when everything fits, else
+    f32 with the 2^24 exactness guard."""
+    x = counts[:, :, allele]
+    N, L = x.shape
+    Lp = L + ((-L) % c)
+    hi = int(x.max()) if x.size else 0
+    lo = int(x.min()) if x.size else 0
+    if x.size and hi < 65536 and lo >= 0:
+        out = np.zeros((N, Lp), dtype=np.uint16)
+        out[:, :L] = x
+        return out
+    if x.size and hi > 2**24:
+        raise ValueError(
+            "count plane exceeds 2^24; the f32 wire fallback would round "
+            f"integer counts (max={hi})"
+        )
+    out = np.zeros((N, Lp), dtype=np.float32)
+    out[:, :L] = x
+    return out
+
+
+def _wire_planes(data) -> tuple[np.ndarray, np.ndarray]:
+    """The two padded upload planes for a CountData: free in wire mode
+    (the loader already built exactly these), one _wire_plane pass each
+    in plane mode."""
+    wa = getattr(data, "wire_at", None)
+    if wa is not None and wa.shape[1] % CHUNK == 0:
+        return wa, data.wire_cg
+    return (
+        _wire_plane(data.max_counts, 0, CHUNK),
+        _wire_plane(data.max_counts, 1, CHUNK),
+    )
+
+
 def _two_sum(hi, lo, p):
     """Compensated (Knuth two-sum) f32-pair accumulation.
 
@@ -365,8 +406,7 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
     rows are sharded over the 1-D data mesh (each device scores its row
     block against the all_gather'ed planes)."""
     N = data.n_samples
-    a_np = _wire(_pad_sites(data.max_counts[:, :, 0].astype(np.float32), CHUNK))
-    b_np = _wire(_pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK))
+    a_np, b_np = _wire_planes(data)
 
     if mesh is not None:
         D = mesh.devices.size
@@ -596,8 +636,7 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     if not pairs:
         return
 
-    a_np = _wire(_pad_sites(data.max_counts[:, :, 0].astype(np.float32), CHUNK))
-    b_np = _wire(_pad_sites(data.max_counts[:, :, 1].astype(np.float32), CHUNK))
+    a_np, b_np = _wire_planes(data)
     A = jnp.asarray(a_np)
     B = jnp.asarray(b_np)
     cov = data.cov.astype(np.float64)

@@ -204,6 +204,101 @@ def load_count_arrays(paths):
     return locus_ids, distinct, mc, sc, tks, kss
 
 
+def load_count_wires(paths, pad_to: int = 256):
+    """Wire-plane bulk loader: parses straight into the eval engine's
+    padded u16 upload planes plus the integer accumulators that replace
+    the full [N, L, 2] planes (ntsm_parse_counts3).
+
+    Returns (locus_ids, distinct [L,2] i64, wa [N,Lp] u16, wb [N,Lp] u16,
+    site_acc [L,4] i64 (mcAT, mcCG, sumAT, sumCG summed over samples),
+    samp_mc [N] i64, samp_sum [N] i64, tks [N] i64, kss [N] i64), or None
+    when the native library is absent, any count exceeds u16, or any file
+    needs locus reordering — the caller then falls back to
+    load_count_arrays (int32 planes) / load_count_files (exact int64).
+
+    Motivation: fresh multi-GB allocations first-touch at ~60 MB/s on this
+    host (VM page-fault pathology, measured scripts/profile_eval_load.py);
+    the wire planes are the only [N, *] arrays the -a TPU engine actually
+    uploads, so everything else is folded into O(L) / O(N) accumulators.
+    """
+    from ntsm_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "ntsm_parse_counts3"):
+        return None
+    import ctypes
+
+    vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+
+    # first file: fixes locus order, row count, distinct
+    with open(paths[0], "rb") as fh:
+        buf0 = fh.read()
+    cap = buf0.count(b"\n") + 2
+    wa0 = np.zeros(cap, np.uint16)
+    wb0 = np.zeros(cap, np.uint16)
+    acc0 = np.zeros((cap, 4), np.int64)
+    samp = np.zeros(2, np.int64)
+    dist = np.zeros((cap, 2), np.int64)
+    ids = _scratch.get("ids")
+    idcap = len(buf0) + cap + 16
+    if ids is None or ids.shape[0] < idcap:
+        ids = _scratch["ids"] = np.empty(idcap, dtype=np.uint8)
+    ids_len = ctypes.c_long(0)
+    tk = ctypes.c_long(0)
+    ks = ctypes.c_long(0)
+    n0 = lib.ntsm_parse_counts3(
+        buf0, ctypes.c_long(len(buf0)), vp(wa0), vp(wb0), vp(acc0), vp(samp),
+        vp(dist), ctypes.c_long(cap), vp(ids), ctypes.c_long(ids.shape[0]),
+        ctypes.byref(ids_len), ctypes.byref(tk), ctypes.byref(ks),
+    )
+    if n0 <= 0:
+        return None
+    blob0 = ids[: ids_len.value].tobytes()
+    locus_ids = blob0.decode("ascii").splitlines()
+    L = n0
+    N = len(paths)
+    Lp = L + ((-L) % pad_to)
+    wa = np.zeros((N, Lp), np.uint16)
+    wb = np.zeros((N, Lp), np.uint16)
+    site_acc = np.zeros((L, 4), np.int64)
+    samp_mc = np.zeros(N, np.int64)
+    samp_sum = np.zeros(N, np.int64)
+    tks = np.zeros(N, np.int64)
+    kss = np.zeros(N, np.int64)
+    wa[0, :L] = wa0[:L]
+    wb[0, :L] = wb0[:L]
+    site_acc += acc0[:L]
+    samp_mc[0], samp_sum[0] = samp
+    tks[0], kss[0] = tk.value, ks.value
+    for s in range(1, N):
+        with open(paths[s], "rb") as fh:
+            buf = fh.read()
+        idcap = len(buf) + 16
+        if ids.shape[0] < idcap:
+            ids = _scratch["ids"] = np.empty(idcap + cap, dtype=np.uint8)
+        r = lib.ntsm_parse_counts3(
+            buf, ctypes.c_long(len(buf)), vp(wa[s]), vp(wb[s]), vp(site_acc),
+            vp(samp), None, ctypes.c_long(L), vp(ids),
+            ctypes.c_long(ids.shape[0]), ctypes.byref(ids_len),
+            ctypes.byref(tk), ctypes.byref(ks),
+        )
+        if (
+            r != L
+            or ids_len.value != len(blob0)
+            or ids[: ids_len.value].tobytes() != blob0
+        ):
+            # overflow (-2), malformed (-1), short file, or reordered loci:
+            # accumulators are poisoned — the caller falls back to the
+            # plane loaders, which handle id-remapping exactly
+            return None
+        samp_mc[s], samp_sum[s] = samp
+        tks[s], kss[s] = tk.value, ks.value
+    return (
+        locus_ids, dist[:L].copy(), wa, wb, site_acc, samp_mc, samp_sum,
+        tks, kss,
+    )
+
+
 def _parse_rows(path: str):
     tk = 0
     ks = 0

@@ -571,16 +571,98 @@ extern "C" long ntsm_parse_counts2(const uint8_t* buf, long len, int32_t* mc,
     long idw = 0;
     const uint8_t* p = buf;
     const uint8_t* end = buf + len;
-    while (p < end) {
-        const uint8_t* nl =
-            static_cast<const uint8_t*>(memchr(p, '\n', end - p));
-        const uint8_t* e = nl ? nl : end;
-        if (e > p && e[-1] == '\r') --e;
-        if (e == p) {
-            p = nl ? nl + 1 : end;
+    // Every row inside [buf, fast_end) is '\n'-terminated, so the digit
+    // loops below need no per-char bounds check: any non-digit (including
+    // '\n') stops them via the unsigned *q - '0' trick.  This took the
+    // parse from ~290 MB/s to the rewritten rate (the old loop carried
+    // three branches per digit char).  An unterminated tail row (no final
+    // newline) is handled by the bounded epilogue after the loop.
+    const uint8_t* last_nl =
+        static_cast<const uint8_t*>(memrchr(buf, '\n', len));
+    const uint8_t* fast_end = last_nl ? last_nl + 1 : buf;
+    while (p < fast_end) {
+        if (*p == '\n') {  // blank line
+            ++p;
             continue;
         }
-        if (*p == '#') {
+        if (*p == '#' || *p == '\r') {  // header (or stray CR/blank-CRLF)
+            const uint8_t* nl = static_cast<const uint8_t*>(
+                memchr(p, '\n', fast_end - p));
+            const uint8_t* e = nl;  // nl != NULL inside the fast region
+            if (e[-1] == '\r') --e;
+            if (e - p > 5 && p[0] == '#' && p[1] == '@' &&
+                ((p[2] == 'T' && p[3] == 'K') ||
+                 (p[2] == 'K' && p[3] == 'S')) &&
+                p[4] == '\t') {
+                long v = 0;
+                for (const uint8_t* q = p + 5; q < e; ++q) {
+                    if (*q < '0' || *q > '9') return -1;
+                    v = v * 10 + (*q - '0');
+                }
+                if (p[2] == 'T')
+                    *tk = v;
+                else
+                    *ks = v;
+            }
+            p = nl + 1;
+            continue;
+        }
+        if (rows >= cap) return -1;
+        const uint8_t* tab =
+            static_cast<const uint8_t*>(memchr(p, '\t', fast_end - p));
+        if (!tab ||
+            memchr(p, '\n', tab - p))  // no tab on this line => malformed
+            return -1;
+        long idlen = tab - p;
+        if (idw + idlen + 1 > ids_cap) return -1;
+        memcpy(ids_out + idw, p, idlen);
+        idw += idlen;
+        ids_out[idw++] = '\n';
+        const uint8_t* q = tab + 1;
+        int64_t cols[6];
+        for (int col = 0; col < 6; ++col) {
+            bool neg = (*q == '-');
+            q += neg;
+            unsigned d = static_cast<unsigned>(*q) - '0';
+            if (d > 9u) return -1;
+            int64_t v = d;
+            ++q;
+            while ((d = static_cast<unsigned>(*q) - '0') <= 9u) {
+                v = v * 10 + d;
+                ++q;
+            }
+            cols[col] = neg ? -v : v;
+            if (col < 5) {
+                if (*q != '\t') return -1;
+                ++q;
+            }
+        }
+        if (*q == '\r') ++q;
+        if (*q != '\n') return -1;  // trailing junk
+        for (int col = 0; col < 4; ++col) {
+            if (cols[col] > 2147483647LL || cols[col] < -2147483648LL)
+                return -1;  // caller falls back to the int64 path
+        }
+        mc[rows * 2] = static_cast<int32_t>(cols[0]);
+        mc[rows * 2 + 1] = static_cast<int32_t>(cols[1]);
+        sc[rows * 2] = static_cast<int32_t>(cols[2]);
+        sc[rows * 2 + 1] = static_cast<int32_t>(cols[3]);
+        if (dist) {
+            dist[rows * 2] = cols[4];
+            dist[rows * 2 + 1] = cols[5];
+        }
+        ++rows;
+        p = q + 1;
+    }
+    // epilogue: an unterminated final row (rare; bounds-checked like the
+    // original loop)
+    if (fast_end < end) {
+        const uint8_t* e = end;
+        if (e > fast_end && e[-1] == '\r') --e;
+        p = fast_end;
+        if (e == p) {
+            // bare CR tail
+        } else if (*p == '#') {
             if (e - p > 5 && p[1] == '@' &&
                 ((p[2] == 'T' && p[3] == 'K') ||
                  (p[2] == 'K' && p[3] == 'S')) &&
@@ -595,13 +677,144 @@ extern "C" long ntsm_parse_counts2(const uint8_t* buf, long len, int32_t* mc,
                 else
                     *ks = v;
             }
-            p = nl ? nl + 1 : end;
-            continue;
+        } else {
+            if (rows >= cap) return -1;
+            const uint8_t* tab =
+                static_cast<const uint8_t*>(memchr(p, '\t', e - p));
+            if (!tab) return -1;
+            long idlen = tab - p;
+            if (idw + idlen + 1 > ids_cap) return -1;
+            memcpy(ids_out + idw, p, idlen);
+            idw += idlen;
+            ids_out[idw++] = '\n';
+            const uint8_t* q = tab + 1;
+            int64_t cols[6];
+            for (int col = 0; col < 6; ++col) {
+                bool neg = false;
+                if (q < e && *q == '-') {
+                    neg = true;
+                    ++q;
+                }
+                if (q >= e || *q < '0' || *q > '9') return -1;
+                int64_t v = 0;
+                while (q < e && *q >= '0' && *q <= '9')
+                    v = v * 10 + (*q++ - '0');
+                cols[col] = neg ? -v : v;
+                if (col < 5) {
+                    if (q >= e || *q != '\t') return -1;
+                    ++q;
+                }
+            }
+            if (q != e) return -1;
+            for (int col = 0; col < 4; ++col) {
+                if (cols[col] > 2147483647LL || cols[col] < -2147483648LL)
+                    return -1;
+            }
+            mc[rows * 2] = static_cast<int32_t>(cols[0]);
+            mc[rows * 2 + 1] = static_cast<int32_t>(cols[1]);
+            sc[rows * 2] = static_cast<int32_t>(cols[2]);
+            sc[rows * 2 + 1] = static_cast<int32_t>(cols[3]);
+            if (dist) {
+                dist[rows * 2] = cols[4];
+                dist[rows * 2 + 1] = cols[5];
+            }
+            ++rows;
         }
+    }
+    *ids_len = idw;
+    return rows;
+}
+
+// Wire-plane variant for the eval bulk loader: writes countAT/countCG
+// straight into the engine's u16 upload planes (one padded [Lp] row per
+// sample) and accumulates everything else the pipeline ever reads from
+// the full [N, L, 2] arrays — per-site mc/sum totals (merge -o) and
+// per-sample mc/sum totals (cov + error rate) — so neither plane has to
+// be materialized at load time.  At the N=3202 cohort that removes ~5 GB
+// of fresh allocations whose first-touch page faults ran at ~60 MB/s on
+// this host (the dominant, previously unitemized load cost).
+//   wa/wb:    u16 [cap] rows (caller zero-pads the tail)
+//   site_acc: i64 [cap, 4] (mcAT, mcCG, sumAT, sumCG) += per site
+//   samp_acc: i64 [2]      (sum of mc, sum of sum) for this file
+//   dist:     optional i64 [cap, 2] (distinct cols; first file only)
+// Returns rows; -1 malformed; -2 a count column doesn't fit u16 (caller
+// falls back to the int32-plane loader; accumulators are then poisoned
+// and must be discarded).
+extern "C" long ntsm_parse_counts3(const uint8_t* buf, long len, uint16_t* wa,
+                                   uint16_t* wb, int64_t* site_acc,
+                                   int64_t* samp_acc, int64_t* dist, long cap,
+                                   uint8_t* ids_out, long ids_cap,
+                                   long* ids_len, long* tk, long* ks) {
+    *tk = 0;
+    *ks = 0;
+    long rows = 0;
+    long idw = 0;
+    int64_t s_mc = 0, s_sum = 0;
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + len;
+    const uint8_t* last_nl =
+        static_cast<const uint8_t*>(memrchr(buf, '\n', len));
+    const uint8_t* fast_end = last_nl ? last_nl + 1 : buf;
+    while (true) {
+        const uint8_t* e = NULL;  // row end for the careful tail pass
+        if (p < fast_end) {
+            if (*p == '\n') {
+                ++p;
+                continue;
+            }
+            if (*p == '#' || *p == '\r') {
+                const uint8_t* nl = static_cast<const uint8_t*>(
+                    memchr(p, '\n', fast_end - p));
+                e = nl;
+                if (e[-1] == '\r') --e;
+                if (e - p > 5 && p[0] == '#' && p[1] == '@' &&
+                    ((p[2] == 'T' && p[3] == 'K') ||
+                     (p[2] == 'K' && p[3] == 'S')) &&
+                    p[4] == '\t') {
+                    long v = 0;
+                    for (const uint8_t* q = p + 5; q < e; ++q) {
+                        if (*q < '0' || *q > '9') return -1;
+                        v = v * 10 + (*q - '0');
+                    }
+                    if (p[2] == 'T')
+                        *tk = v;
+                    else
+                        *ks = v;
+                }
+                p = nl + 1;
+                continue;
+            }
+        } else if (p < end) {
+            // unterminated tail row: bound every scan by e
+            e = end;
+            if (e[-1] == '\r') --e;
+            if (e == p) break;
+            if (*p == '#') {
+                if (e - p > 5 && p[1] == '@' &&
+                    ((p[2] == 'T' && p[3] == 'K') ||
+                     (p[2] == 'K' && p[3] == 'S')) &&
+                    p[4] == '\t') {
+                    long v = 0;
+                    for (const uint8_t* q = p + 5; q < e; ++q) {
+                        if (*q < '0' || *q > '9') return -1;
+                        v = v * 10 + (*q - '0');
+                    }
+                    if (p[2] == 'T')
+                        *tk = v;
+                    else
+                        *ks = v;
+                }
+                break;
+            }
+        } else {
+            break;
+        }
+        bool fast = p < fast_end;
         if (rows >= cap) return -1;
+        const uint8_t* lim = fast ? fast_end : e;
         const uint8_t* tab =
-            static_cast<const uint8_t*>(memchr(p, '\t', e - p));
-        if (!tab) return -1;
+            static_cast<const uint8_t*>(memchr(p, '\t', lim - p));
+        if (!tab || (fast && memchr(p, '\n', tab - p))) return -1;
         long idlen = tab - p;
         if (idw + idlen + 1 > ids_cap) return -1;
         memcpy(ids_out + idw, p, idlen);
@@ -611,35 +824,52 @@ extern "C" long ntsm_parse_counts2(const uint8_t* buf, long len, int32_t* mc,
         int64_t cols[6];
         for (int col = 0; col < 6; ++col) {
             bool neg = false;
-            if (q < e && *q == '-') {
+            if ((fast || q < e) && *q == '-') {
                 neg = true;
                 ++q;
             }
-            if (q >= e || *q < '0' || *q > '9') return -1;
-            int64_t v = 0;
-            while (q < e && *q >= '0' && *q <= '9') v = v * 10 + (*q++ - '0');
+            if ((!fast && q >= e)) return -1;
+            unsigned d = static_cast<unsigned>(*q) - '0';
+            if (d > 9u) return -1;
+            int64_t v = d;
+            ++q;
+            while ((fast || q < e) &&
+                   (d = static_cast<unsigned>(*q) - '0') <= 9u) {
+                v = v * 10 + d;
+                ++q;
+            }
             cols[col] = neg ? -v : v;
             if (col < 5) {
-                if (q >= e || *q != '\t') return -1;
+                if ((!fast && q >= e) || *q != '\t') return -1;
                 ++q;
             }
         }
-        if (q != e) return -1;
-        for (int col = 0; col < 4; ++col) {
-            if (cols[col] > 2147483647LL || cols[col] < -2147483648LL)
-                return -1;  // caller falls back to the int64 path
+        if (fast) {
+            if (*q == '\r') ++q;
+            if (*q != '\n') return -1;
+        } else {
+            if (q != e) return -1;
         }
-        mc[rows * 2] = static_cast<int32_t>(cols[0]);
-        mc[rows * 2 + 1] = static_cast<int32_t>(cols[1]);
-        sc[rows * 2] = static_cast<int32_t>(cols[2]);
-        sc[rows * 2 + 1] = static_cast<int32_t>(cols[3]);
+        if (static_cast<uint64_t>(cols[0]) > 65535ULL ||
+            static_cast<uint64_t>(cols[1]) > 65535ULL)
+            return -2;  // u16 wire can't hold it; caller uses the i32 path
+        wa[rows] = static_cast<uint16_t>(cols[0]);
+        wb[rows] = static_cast<uint16_t>(cols[1]);
+        site_acc[rows * 4] += cols[0];
+        site_acc[rows * 4 + 1] += cols[1];
+        site_acc[rows * 4 + 2] += cols[2];
+        site_acc[rows * 4 + 3] += cols[3];
+        s_mc += cols[0] + cols[1];
+        s_sum += cols[2] + cols[3];
         if (dist) {
             dist[rows * 2] = cols[4];
             dist[rows * 2 + 1] = cols[5];
         }
         ++rows;
-        p = nl ? nl + 1 : end;
+        p = fast ? q + 1 : end;
     }
+    samp_acc[0] = s_mc;
+    samp_acc[1] = s_sum;
     *ids_len = idw;
     return rows;
 }

@@ -71,7 +71,7 @@ def _golden_stdout(sites_path, paths):
     )
 
 
-def _run_cluster(argv_tail, nproc, tmp_path, timeout=300):
+def _run_cluster(argv_tail, nproc, tmp_path, timeout=300, _retry=True):
     port = _free_port()
     procs = []
     for pid in range(nproc):
@@ -93,6 +93,11 @@ def _run_cluster(argv_tail, nproc, tmp_path, timeout=300):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    if _retry and any(rc != 0 for rc, _, _ in outs):
+        # one retry with a fresh port: on this 1-core host the gloo
+        # rendezvous can time out under full-suite load, and the
+        # pre-probed port can be stolen between close() and bind()
+        return _run_cluster(argv_tail, nproc, tmp_path, timeout, _retry=False)
     return outs
 
 

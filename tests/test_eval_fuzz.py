@@ -154,7 +154,7 @@ def test_native_row_formatter_matches_python_loop(rng):
     stats["score"] = score
 
     data = CountData.__new__(CountData)
-    data.max_counts = np.zeros((N, 1, 2), dtype=np.int64)  # n_samples prop
+    data._max_counts = np.zeros((N, 1, 2), dtype=np.int64)  # n_samples prop
     data.filenames = [f"s{i}.txt" for i in range(N)]
     data.cov = rng.uniform(10, 40, N)
     data.error_rate = rng.uniform(0, 0.02, N)

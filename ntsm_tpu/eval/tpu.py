@@ -401,10 +401,21 @@ def _joint_int_matmuls(a_l, b_l, v_l, a_f, b_f, v_f, mc: float, chunk: int):
     return hi, lo
 
 
-def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
+def compute_pair_stats_tpu(
+    data: CountData, opts: Options, mesh=None, packed: bool = False
+) -> dict:
     """All [N, N] pairwise statistics on device; with `mesh`, the sample
     rows are sharded over the 1-D data mesh (each device scores its row
-    block against the all_gather'ed planes)."""
+    block against the all_gather'ed planes).
+
+    With `packed` (single-device only), the i<j triangle of every statistic
+    is gathered ON DEVICE and fetched as ONE [10, P] f32 blob instead of
+    fourteen [N, N] planes — the score phase is device->host-fetch-bound
+    on the tunneled runtime, and this cuts fetched bytes ~2.8x (the
+    symmetric half of every plane, the 4 s1 planes folded to a compensated
+    log-likelihood pair, hi/lo joint planes combined) and turns ~110
+    transfers into one.  Returns per-pair vectors (see _finalize_packed).
+    """
     N = data.n_samples
     a_np, b_np = _wire_planes(data)
 
@@ -474,13 +485,6 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
         mc=float(opts.min_cov),
         chunk=CHUNK,
     )
-    tallies = {k: np.asarray(v).astype(np.int64) for k, v in tallies_d.items()}
-    si_hi, si_lo, sf_hi, sf_lo = (np.asarray(x).astype(np.float64) for x in s1_d)
-    s1 = (si_hi + si_lo) - (sf_hi + sf_lo)
-    jint = np.asarray(jint_d[0]).astype(np.float64) + np.asarray(
-        jint_d[1]
-    ).astype(np.float64)
-
     import os as _os
 
     if jax.default_backend() in ("tpu", "axon") and _os.environ.get(
@@ -490,6 +494,7 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
         # fractional pass.  Measured SLOWER than the XLA row-tile loop
         # (1.51 s vs 0.92 s at N=1024, value-fetch-inclusive — see
         # eval/pallas_joint.py for the record), so XLA is the default.
+        tallies, s1, jint = _fetch_full(tallies_d, s1_d, jint_d)
         fh_d, fl_d = _joint_frac_pallas(a_d, b_d, v_t, float(opts.min_cov))
         J = jint - (
             np.asarray(fh_d).astype(np.float64)
@@ -498,18 +503,24 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
         return _finalize_stats(data, opts, tallies, s1, J)
 
     joint_fn = _make_joint_fn(opts.min_cov)
+    if packed and N >= 2:
+        # device-resident fractional tiles: no per-tile fetch
+        tiles = []
+        for r0 in range(0, N, ROW_TILE):
+            ai, bi, vi = _joint_row_tile(a_d, b_d, v_t, r0, N)
+            tiles.append(joint_fn(ai, bi, vi, a_d, b_d, v_t))
+        jfh = jnp.concatenate([t[0] for t in tiles], axis=0)
+        jfl = jnp.concatenate([t[1] for t in tiles], axis=0)
+        buf = np.asarray(
+            _pack_triangle(tallies_d, s1_d, jint_d, jfh[:N], jfl[:N])
+        )
+        return _finalize_packed(data, opts, buf, N)
+
+    tallies, s1, jint = _fetch_full(tallies_d, s1_d, jint_d)
     J = np.zeros((N, N), np.float64)
-    pad_rows = (-N) % ROW_TILE
     for r0 in range(0, N, ROW_TILE):
         r1 = min(r0 + ROW_TILE, N)
-        ai = a_d[:, r0:r1]
-        bi = b_d[:, r0:r1]
-        vi = v_t[:, r0:r1]
-        if r1 - r0 < ROW_TILE and pad_rows:
-            padw = ((0, 0), (0, ROW_TILE - (r1 - r0)), (0, 0))
-            ai = jnp.pad(ai, padw)
-            bi = jnp.pad(bi, padw)
-            vi = jnp.pad(vi, padw)
+        ai, bi, vi = _joint_row_tile(a_d, b_d, v_t, r0, N)
         fh, fl = (
             np.asarray(x).astype(np.float64)
             for x in joint_fn(ai, bi, vi, a_d, b_d, v_t)
@@ -517,6 +528,109 @@ def compute_pair_stats_tpu(data: CountData, opts: Options, mesh=None) -> dict:
         J[r0:r1] = jint[r0:r1] - ((fh + fl)[: r1 - r0])
 
     return _finalize_stats(data, opts, tallies, s1, J)
+
+
+def _fetch_full(tallies_d, s1_d, jint_d):
+    """Host fetch + f64 combine of the full [N, N] planes (the unpacked
+    path; the mesh and Pallas-experiment branches share it)."""
+    tallies = {k: np.asarray(v).astype(np.int64) for k, v in tallies_d.items()}
+    si_hi, si_lo, sf_hi, sf_lo = (np.asarray(x).astype(np.float64) for x in s1_d)
+    s1 = (si_hi + si_lo) - (sf_hi + sf_lo)
+    jint = np.asarray(jint_d[0]).astype(np.float64) + np.asarray(
+        jint_d[1]
+    ).astype(np.float64)
+    return tallies, s1, jint
+
+
+@jax.jit
+def _pack_triangle(tallies, s1, jint, jfh, jfl):
+    """Gather the i<j triangle of every per-pair statistic on device into
+    one [10, P] f32 blob (P = N(N-1)/2, row-major pair order — matches
+    np.triu_indices(N, 1)).
+
+    Rows: loglik hi, loglik lo, n, ibs0, shared_hets, shared_homs,
+    hets1, hets2, homs1, homs2.  The log-likelihood −2·(J − s1 − s1ᵀ)
+    (CompareCounts.hpp:1093-1099) is folded from its six hi/lo source
+    planes with compensated pair arithmetic (~2⁻⁴⁸ relative, same class
+    as the host f64 combine it replaces); tallies are exact integers in
+    f32.  This trades fourteen [N, N] fetches + two per row tile for one
+    blob at ~2.8x fewer bytes — the score phase is fetch-bound."""
+    n_plane = tallies["n"]
+    N = n_plane.shape[0]
+    P = (N * (N - 1)) // 2
+    ii = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    flat = jnp.flatnonzero((jj > ii).reshape(-1), size=P, fill_value=0)
+    tflat = (flat % N) * N + flat // N  # transpose gather: (j, i)
+    g = lambda x: x.reshape(-1)[flat]  # noqa: E731
+    gt = lambda x: x.reshape(-1)[tflat]  # noqa: E731
+
+    def dd_sub(h1, l1, h2, l2):
+        h, l = _two_sum(h1, l1, -h2)
+        return _two_sum(h, l, -l2)
+
+    si_hi, si_lo, sf_hi, sf_lo = s1
+    jh, jl = dd_sub(g(jint[0]), g(jint[1]), g(jfh), g(jfl))
+    s1ij = dd_sub(g(si_hi), g(si_lo), g(sf_hi), g(sf_lo))
+    s1ji = dd_sub(gt(si_hi), gt(si_lo), gt(sf_hi), gt(sf_lo))
+    dh, dl = dd_sub(jh, jl, *s1ij)
+    dh, dl = dd_sub(dh, dl, *s1ji)
+    return jnp.stack(
+        [
+            -2.0 * dh,
+            -2.0 * dl,
+            g(n_plane),
+            g(tallies["ibs0"]),
+            g(tallies["shared_hets"]),
+            g(tallies["shared_homs"]),
+            g(tallies["hets1"]),
+            gt(tallies["hets1"]),
+            g(tallies["homs1"]),
+            gt(tallies["homs1"]),
+        ]
+    )
+
+
+def _finalize_packed(data, opts, buf: np.ndarray, N: int) -> dict:
+    """Per-pair stats dict from the fetched [10, P] blob: same skew /
+    DBL_MAX semantics as _finalize_stats, vectors in np.triu_indices(N, 1)
+    pair order (keys hets2/homs2 are the transpose gathers)."""
+    iu, ju = np.triu_indices(N, 1)
+    ll = buf[0].astype(np.float64) + buf[1].astype(np.float64)
+    n = buf[2].astype(np.int64)
+    cov = data.cov
+    with np.errstate(divide="ignore", invalid="ignore"):
+        skewed = ll / (cov[iu] * cov[ju]) ** opts.cov_skew
+        score = np.where(n > 0, skewed / np.maximum(n, 1.0), DBL_MAX)
+    return dict(
+        packed=True,
+        iu=iu,
+        ju=ju,
+        score=score,
+        n=n,
+        ibs0=buf[3].astype(np.int64),
+        shared_hets=buf[4].astype(np.int64),
+        shared_homs=buf[5].astype(np.int64),
+        hets1=buf[6].astype(np.int64),
+        hets2=buf[7].astype(np.int64),
+        homs1=buf[8].astype(np.int64),
+        homs2=buf[9].astype(np.int64),
+    )
+
+
+def _joint_row_tile(a_d, b_d, v_t, r0: int, N: int):
+    """One ROW_TILE-wide slice of the chunked [C, N, c] planes, zero-padded
+    to the fixed tile width so every joint dispatch shares one compile."""
+    r1 = min(r0 + ROW_TILE, N)
+    ai = a_d[:, r0:r1]
+    bi = b_d[:, r0:r1]
+    vi = v_t[:, r0:r1]
+    if r1 - r0 < ROW_TILE:
+        padw = ((0, 0), (0, ROW_TILE - (r1 - r0)), (0, 0))
+        ai = jnp.pad(ai, padw)
+        bi = jnp.pad(bi, padw)
+        vi = jnp.pad(vi, padw)
+    return ai, bi, vi
 
 
 @functools.partial(jax.jit, static_argnames=("mc",))
@@ -784,10 +898,7 @@ def _write_rows_native(data, opts, out, stats) -> bool:
     if lib is None or not hasattr(lib, "ntsm_format_eval_rows"):
         return False
 
-    N = data.n_samples
-    score = stats["score"]
-    iu, ju = np.triu_indices(N, 1)
-    sc = score[iu, ju]
+    iu, ju, sc, cols = _triangle_vectors(stats, data.n_samples)
     if opts.all:
         same = np.where(
             sc < opts.score_thresh, ord("1"), ord("0")
@@ -795,6 +906,7 @@ def _write_rows_native(data, opts, out, stats) -> bool:
     else:
         keep = sc < opts.score_thresh
         iu, ju, sc = iu[keep], ju[keep], sc[keep]
+        cols = [c[keep] for c in cols]
         # without -a only passing pairs print, hard-coded "1"
         # (CompareCounts.hpp:853-861)
         same = np.full(iu.shape[0], ord("1"), dtype=np.uint8)
@@ -802,8 +914,32 @@ def _write_rows_native(data, opts, out, stats) -> bool:
     if P == 0:
         return True
 
-    f3, i9 = _pair_columns(
-        sc,
+    f3, i9 = _pair_columns(sc, *cols)
+    ii = np.ascontiguousarray(iu.astype(np.int32))
+    jj = np.ascontiguousarray(ju.astype(np.int32))
+
+    _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, None)
+    return True
+
+
+def _triangle_vectors(stats, N):
+    """(iu, ju, score, [ibs0, shet, shom, h1, h2, o1, o2, n]) per-pair
+    vectors in np.triu_indices order, from either a packed or a
+    full-matrix stats dict."""
+    if stats.get("packed"):
+        cols = [
+            stats["ibs0"],
+            stats["shared_hets"],
+            stats["shared_homs"],
+            stats["hets1"],
+            stats["hets2"],
+            stats["homs1"],
+            stats["homs2"],
+            stats["n"],
+        ]
+        return stats["iu"], stats["ju"], stats["score"], cols
+    iu, ju = np.triu_indices(N, 1)
+    cols = [
         stats["ibs0"][iu, ju],
         stats["shared_hets"][iu, ju],
         stats["shared_homs"][iu, ju],
@@ -812,12 +948,8 @@ def _write_rows_native(data, opts, out, stats) -> bool:
         stats["homs1"][iu, ju],
         stats["homs1"][ju, iu],
         stats["n"][iu, ju],
-    )
-    ii = np.ascontiguousarray(iu.astype(np.int32))
-    jj = np.ascontiguousarray(ju.astype(np.int32))
-
-    _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, None)
-    return True
+    ]
+    return iu, ju, stats["score"][iu, ju], cols
 
 
 def _sample_strings(data):
@@ -906,37 +1038,38 @@ def _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dist, samp_w=None):
 
 def compute_score_all_tpu(data: CountData, opts: Options, out) -> None:
     """All-vs-all output identical in layout to the exact engine."""
-    stats = compute_pair_stats_tpu(data, opts, mesh=_auto_mesh())
+    mesh = _auto_mesh()
+    stats = compute_pair_stats_tpu(data, opts, mesh=mesh, packed=mesh is None)
     out.write(HEADER)
     out.write("\n")
     if _write_rows_native(data, opts, out, stats):
         return
-    score = stats["score"]
-    N = data.n_samples
-    for i in range(N):
-        for j in range(i + 1, N):
-            if not (opts.all or score[i, j] < opts.score_thresh):
-                continue
-            r = Relate(
-                ibs0=int(stats["ibs0"][i, j]),
-                ibs2=int(stats["shared_hets"][i, j] + stats["shared_homs"][i, j]),
-                shared_homs=int(stats["shared_homs"][i, j]),
-                shared_hets=int(stats["shared_hets"][i, j]),
-                hets1=int(stats["hets1"][i, j]),
-                homs1=int(stats["homs1"][i, j]),
-                hets2=int(stats["hets1"][j, i]),
-                homs2=int(stats["homs1"][j, i]),
-            )
-            r.hom_concord = cpp_div(
-                float(r.shared_homs) - 2.0 * float(r.ibs0),
-                float(min(r.homs1, r.homs2)),
-            )
-            r.relatedness = cpp_div(
-                float(r.shared_hets) - 2.0 * float(r.ibs0),
-                float(min(r.hets1, r.hets2)),
-            )
-            res = PairResult(
-                i=i, j=j, score=float(score[i, j]), n=int(stats["n"][i, j]), relate=r
-            )
-            out.write(results_row(data, res, "-1", opts))
-            out.write("\n")
+    iu, ju, score, cols = _triangle_vectors(stats, data.n_samples)
+    ibs0, shet, shom, h1, h2, o1, o2, n = cols
+    for p in range(int(iu.shape[0])):
+        if not (opts.all or score[p] < opts.score_thresh):
+            continue
+        r = Relate(
+            ibs0=int(ibs0[p]),
+            ibs2=int(shet[p] + shom[p]),
+            shared_homs=int(shom[p]),
+            shared_hets=int(shet[p]),
+            hets1=int(h1[p]),
+            homs1=int(o1[p]),
+            hets2=int(h2[p]),
+            homs2=int(o2[p]),
+        )
+        r.hom_concord = cpp_div(
+            float(r.shared_homs) - 2.0 * float(r.ibs0),
+            float(min(r.homs1, r.homs2)),
+        )
+        r.relatedness = cpp_div(
+            float(r.shared_hets) - 2.0 * float(r.ibs0),
+            float(min(r.hets1, r.hets2)),
+        )
+        res = PairResult(
+            i=int(iu[p]), j=int(ju[p]), score=float(score[p]),
+            n=int(n[p]), relate=r,
+        )
+        out.write(results_row(data, res, "-1", opts))
+        out.write("\n")

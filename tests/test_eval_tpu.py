@@ -115,6 +115,63 @@ def test_tpu_larger_synthetic_cohort(rng):
         assert stats["score"][i, j] == pytest.approx(score, rel=5e-6, abs=5e-6)
 
 
+def test_packed_stats_match_full(data):
+    """The single-fetch triangle pack carries exactly the full-matrix
+    stats: tallies bit-equal, scores within compensated-pair error."""
+    from ntsm_tpu.eval.exact import DBL_MAX
+
+    opts = Options()
+    full = compute_pair_stats_tpu(data, opts)
+    packed = compute_pair_stats_tpu(data, opts, packed=True)
+    N = data.n_samples
+    iu, ju = np.triu_indices(N, 1)
+    np.testing.assert_array_equal(packed["iu"], iu)
+    np.testing.assert_array_equal(packed["ju"], ju)
+    for kp, kf, swap in [
+        ("n", "n", False),
+        ("ibs0", "ibs0", False),
+        ("shared_hets", "shared_hets", False),
+        ("shared_homs", "shared_homs", False),
+        ("hets1", "hets1", False),
+        ("homs1", "homs1", False),
+        ("hets2", "hets1", True),
+        ("homs2", "homs1", True),
+    ]:
+        ref = full[kf][ju, iu] if swap else full[kf][iu, ju]
+        np.testing.assert_array_equal(packed[kp], ref, err_msg=kp)
+    fs = full["score"][iu, ju]
+    finite = fs < DBL_MAX
+    np.testing.assert_allclose(
+        packed["score"][finite], fs[finite], rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_array_equal(packed["score"][~finite], fs[~finite])
+
+
+@pytest.mark.parametrize("all_flag", [True, False])
+def test_packed_output_rows_match_exact(data, monkeypatch, all_flag):
+    """End-to-end -a / default output through the packed single-device
+    path vs the exact engine: every non-score column byte-identical."""
+    import ntsm_tpu.eval.tpu as T
+    from ntsm_tpu.eval.exact import compute_score_all
+
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    opts = Options(all=all_flag, engine="tpu")
+    tpu_out = io.StringIO()
+    compute_score_all_tpu(data, opts, tpu_out)
+    exact_out = io.StringIO()
+    compute_score_all(data, opts, exact_out)
+    tl = tpu_out.getvalue().splitlines()
+    el = exact_out.getvalue().splitlines()
+    assert len(tl) == len(el)
+    assert tl[0] == el[0]
+    for trow, erow in zip(tl[1:], el[1:]):
+        tf = trow.split("\t")
+        ef = erow.split("\t")
+        assert tf[:2] == ef[:2]
+        assert tf[3:] == ef[3:]
+        assert float(tf[2]) == pytest.approx(float(ef[2]), abs=4e-6)
+
+
 def test_wire_u16_and_overflow_guard():
     """_wire: u16 for small counts, f32 passthrough in between, and a loud
     error (not silent rounding) past 2^24 where f32 loses integers."""

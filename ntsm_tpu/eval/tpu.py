@@ -728,7 +728,27 @@ def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int):
         ((z, z), (z, z), (z, z)),
         (cview(a_i), cview(b_i), cview(a_j), cview(b_j), cview(m), cview(s1_plane)),
     )
-    return tallies, acc
+    (jih, jil), (jfh, jfl), (s1h, s1l) = acc
+    # one [14, P] blob per block: a single device->host fetch instead of
+    # fourteen (each fetch on the tunneled runtime pays a fixed RTT)
+    return jnp.stack(
+        [
+            tallies["n"],
+            tallies["shared_hets"],
+            tallies["shared_homs"],
+            tallies["ibs0"],
+            tallies["hets1"],
+            tallies["homs1"],
+            tallies["hets2"],
+            tallies["homs2"],
+            jih,
+            jil,
+            jfh,
+            jfl,
+            s1h,
+            s1l,
+        ]
+    )
 
 
 def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
@@ -772,21 +792,29 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
         if P < PAIR_BLOCK:  # pad for a single compiled shape
             ii = np.pad(ii, (0, PAIR_BLOCK - P), constant_values=ii[0])
             jj = np.pad(jj, (0, PAIR_BLOCK - P), constant_values=jj[0])
-        tallies_d, acc = _pair_block_stats(
-            A, B, jnp.asarray(ii), jnp.asarray(jj),
-            mc=float(opts.min_cov), chunk=CHUNK,
-        )
+        blob = np.asarray(
+            _pair_block_stats(
+                A, B, jnp.asarray(ii), jnp.asarray(jj),
+                mc=float(opts.min_cov), chunk=CHUNK,
+            )
+        ).astype(np.float64)
         tallies = {
-            k: np.asarray(v).astype(np.int64)[:P] for k, v in tallies_d.items()
+            k: blob[r, :P].astype(np.int64)
+            for r, k in enumerate(
+                (
+                    "n",
+                    "shared_hets",
+                    "shared_homs",
+                    "ibs0",
+                    "hets1",
+                    "homs1",
+                    "hets2",
+                    "homs2",
+                )
+            )
         }
-        (jih, jil), (jfh, jfl), (s1h, s1l) = acc
-        J = (
-            np.asarray(jih).astype(np.float64) + np.asarray(jil).astype(np.float64)
-            - np.asarray(jfh).astype(np.float64) - np.asarray(jfl).astype(np.float64)
-        )[:P]
-        s1 = (
-            np.asarray(s1h).astype(np.float64) + np.asarray(s1l).astype(np.float64)
-        )[:P]
+        J = ((blob[8] + blob[9]) - (blob[10] + blob[11]))[:P]
+        s1 = (blob[12] + blob[13])[:P]
         loglik = -2.0 * (J - s1)
         iv = ii[:P].astype(np.int64)
         jv = jj[:P].astype(np.int64)

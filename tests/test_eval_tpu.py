@@ -172,6 +172,42 @@ def test_packed_output_rows_match_exact(data, monkeypatch, all_flag):
         assert float(tf[2]) == pytest.approx(float(ef[2]), abs=4e-6)
 
 
+def test_packed_tile_boundary(rng):
+    """N=97 spans two joint row tiles (ROW_TILE=64) with a padded tail:
+    the device-side tile concatenation + triangle gather must agree with
+    the full-matrix path on every pair."""
+    import ntsm_tpu.eval.model as M
+
+    N, L = 97, 300
+    mc = rng.integers(0, 30, size=(N, L, 2)).astype(np.int64)
+    mc[rng.random((N, L)) < 0.05] = 0
+    data = M.CountData(
+        filenames=[f"s{i}" for i in range(N)],
+        locus_ids=[f"rs{i}" for i in range(L)],
+        distinct=np.full((L, 2), 8, dtype=np.int64),
+        max_counts=mc,
+        sum_counts=mc * 2,
+        raw_total_kmers=np.full(N, 5_000_000, dtype=np.int64),
+        ks=np.full(N, 19, dtype=np.int64),
+        total_counts=mc.sum(axis=(1, 2)),
+    )
+    opts = Options(genome_size=1_000_000)
+    data.prepare(opts)
+    full = compute_pair_stats_tpu(data, opts)
+    packed = compute_pair_stats_tpu(data, opts, packed=True)
+    iu, ju = np.triu_indices(N, 1)
+    np.testing.assert_array_equal(packed["n"], full["n"][iu, ju])
+    np.testing.assert_array_equal(packed["ibs0"], full["ibs0"][iu, ju])
+    np.testing.assert_array_equal(packed["hets2"], full["hets1"][ju, iu])
+    fs = full["score"][iu, ju]
+    from ntsm_tpu.eval.exact import DBL_MAX
+
+    finite = fs < DBL_MAX
+    np.testing.assert_allclose(
+        packed["score"][finite], fs[finite], rtol=1e-6, atol=1e-9
+    )
+
+
 def test_wire_u16_and_overflow_guard():
     """_wire: u16 for small counts, f32 passthrough in between, and a loud
     error (not silent rounding) past 2^24 where f32 loses integers."""

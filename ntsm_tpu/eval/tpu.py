@@ -64,16 +64,21 @@ def _wire(x_np: np.ndarray) -> np.ndarray:
     """Count-plane wire format for the host->device upload.
 
     Counts are small integers (site max counts; ~2x coverage at the top),
-    so a u16 wire halves the transfer against f32 — the upload dominates
-    eval wall time on slow links (N=3202 planes are ~2.5 GB as f32).  The
-    device side widens back to f32 on entry (every consumer starts with
-    .astype(float32), a no-op for an f32 input).  Values that don't fit
-    u16 fall back to f32 wire; f32 is exact for integers up to 2^24, so a
-    count plane beyond that (unreachable for real coverage depths — 2^24
-    site hits of one allele in one sample) raises rather than silently
-    rounding before the exact-integer-tally claims."""
-    if x_np.size and x_np.max() < 65536.0 and x_np.min() >= 0.0:
-        return x_np.astype(np.uint16)
+    so a u8/u16 wire quarters/halves the transfer against f32 — the
+    upload dominates eval wall time on slow links (N=3202 planes are
+    ~2.5 GB as f32).  The device side widens back to f32 on entry (every
+    consumer starts with .astype(float32), a no-op for an f32 input).
+    Values that don't fit u16 fall back to f32 wire; f32 is exact for
+    integers up to 2^24, so a count plane beyond that (unreachable for
+    real coverage depths — 2^24 site hits of one allele in one sample)
+    raises rather than silently rounding before the exact-integer-tally
+    claims."""
+    if x_np.size and x_np.min() >= 0.0:
+        hi = x_np.max()
+        if hi < 256.0:
+            return x_np.astype(np.uint8)
+        if hi < 65536.0:
+            return x_np.astype(np.uint16)
     if x_np.size and x_np.max() > 2.0**24:
         raise ValueError(
             "count plane exceeds 2^24; the f32 wire fallback would round "
@@ -97,7 +102,7 @@ def _wire_plane(counts: np.ndarray, allele: int, c: int) -> np.ndarray:
     hi = int(x.max()) if x.size else 0
     lo = int(x.min()) if x.size else 0
     if x.size and hi < 65536 and lo >= 0:
-        out = np.zeros((N, Lp), dtype=np.uint16)
+        out = np.zeros((N, Lp), dtype=np.uint8 if hi < 256 else np.uint16)
         out[:, :L] = x
         return out
     if x.size and hi > 2**24:
@@ -502,20 +507,14 @@ def compute_pair_stats_tpu(
         )
         return _finalize_stats(data, opts, tallies, s1, J)
 
-    joint_fn = _make_joint_fn(opts.min_cov)
     if packed and N >= 2:
-        # device-resident fractional tiles: no per-tile fetch
-        tiles = []
-        for r0 in range(0, N, ROW_TILE):
-            ai, bi, vi = _joint_row_tile(a_d, b_d, v_t, r0, N)
-            tiles.append(joint_fn(ai, bi, vi, a_d, b_d, v_t))
-        jfh = jnp.concatenate([t[0] for t in tiles], axis=0)
-        jfl = jnp.concatenate([t[1] for t in tiles], axis=0)
-        buf = np.asarray(
-            _pack_triangle(tallies_d, s1_d, jint_d, jfh[:N], jfl[:N])
-        )
-        return _finalize_packed(data, opts, buf, N)
+        buf = np.asarray(_blob_from_planes(tallies_d, s1_d, jint_d,
+                                           a_d, b_d, v_t, opts, N))
+        iu, ju = np.triu_indices(N, 1)
+        return dict(packed=True, iu=iu, ju=ju,
+                    **_finalize_packed(data, opts, buf, iu, ju))
 
+    joint_fn = _make_joint_fn(opts.min_cov)
     tallies, s1, jint = _fetch_full(tallies_d, s1_d, jint_d)
     J = np.zeros((N, N), np.float64)
     for r0 in range(0, N, ROW_TILE):
@@ -591,11 +590,25 @@ def _pack_triangle(tallies, s1, jint, jfh, jfl):
     )
 
 
-def _finalize_packed(data, opts, buf: np.ndarray, N: int) -> dict:
-    """Per-pair stats dict from the fetched [10, P] blob: same skew /
-    DBL_MAX semantics as _finalize_stats, vectors in np.triu_indices(N, 1)
-    pair order (keys hets2/homs2 are the transpose gathers)."""
-    iu, ju = np.triu_indices(N, 1)
+def _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N: int):
+    """Device [10, P] triangle blob for the packed path: runs the joint
+    fractional row tiles device-resident (no per-tile fetch) and gathers
+    the i<j triangle of every statistic.  Returns the (lazy) device
+    array — callers fetch it whole or stream it in P-chunks."""
+    joint_fn = _make_joint_fn(opts.min_cov)
+    tiles = []
+    for r0 in range(0, N, ROW_TILE):
+        ai, bi, vi = _joint_row_tile(a_d, b_d, v_t, r0, N)
+        tiles.append(joint_fn(ai, bi, vi, a_d, b_d, v_t))
+    jfh = jnp.concatenate([t[0] for t in tiles], axis=0)
+    jfl = jnp.concatenate([t[1] for t in tiles], axis=0)
+    return _pack_triangle(tallies_d, s1_d, jint_d, jfh[:N], jfl[:N])
+
+
+def _finalize_packed(data, opts, buf: np.ndarray, iu, ju) -> dict:
+    """Per-pair stats from a fetched [10, p] blob slice whose pairs are
+    (iu[k], ju[k]): same skew / DBL_MAX semantics as _finalize_stats,
+    np.triu_indices(N, 1) pair order (hets2/homs2 are transpose gathers)."""
     ll = buf[0].astype(np.float64) + buf[1].astype(np.float64)
     n = buf[2].astype(np.int64)
     cov = data.cov
@@ -603,9 +616,6 @@ def _finalize_packed(data, opts, buf: np.ndarray, N: int) -> dict:
         skewed = ll / (cov[iu] * cov[ju]) ** opts.cov_skew
         score = np.where(n > 0, skewed / np.maximum(n, 1.0), DBL_MAX)
     return dict(
-        packed=True,
-        iu=iu,
-        ju=ju,
         score=score,
         n=n,
         ibs0=buf[3].astype(np.int64),
@@ -908,25 +918,26 @@ def _auto_mesh():
     return None
 
 
-def _write_rows_native(data, opts, out, stats) -> bool:
-    """Emit the all-vs-all rows through the native formatter.
-
-    The per-row Python path costs ~10-50 us/row (minutes of pure host
-    formatting for the 5.1M rows of an N=3202 cohort); this gathers every
-    per-pair cell with vectorized numpy indexing and formats rows in C at
-    ~1 us/row (native/fastx_reader.cpp:ntsm_format_eval_rows).  Byte-
-    identical to the Python loop: float columns are glibc "%f" both ways
-    (utils/formats.py:cpp_to_string) and relate/homConcord are the same
-    IEEE f64 divisions.  Returns False when the native library is
-    unavailable (caller falls back to the Python loop).
-    """
+def _load_row_formatter():
+    """The native row-formatter lib, or None (Python per-row fallback)."""
     from ntsm_tpu import native
 
     lib = native.load()
     if lib is None or not hasattr(lib, "ntsm_format_eval_rows"):
-        return False
+        return None
+    return lib
 
-    iu, ju, sc, cols = _triangle_vectors(stats, data.n_samples)
+
+def _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w):
+    """Emit one block of all-vs-all rows from per-pair vectors.
+
+    Applies the -a / score-threshold filtering and the quirky `same`
+    column semantics (CompareCounts.hpp:853-861), then formats through the
+    native C formatter (~1 us/row — the Python path is ~10-50 us/row,
+    minutes for an N=3202 cohort) or the per-row Python fallback.  Byte-
+    identical both ways: float columns are glibc "%f"
+    (utils/formats.py:cpp_to_string) and relate/homConcord are the same
+    IEEE f64 divisions."""
     if opts.all:
         same = np.where(
             sc < opts.score_thresh, ord("1"), ord("0")
@@ -936,18 +947,44 @@ def _write_rows_native(data, opts, out, stats) -> bool:
         iu, ju, sc = iu[keep], ju[keep], sc[keep]
         cols = [c[keep] for c in cols]
         # without -a only passing pairs print, hard-coded "1"
-        # (CompareCounts.hpp:853-861)
         same = np.full(iu.shape[0], ord("1"), dtype=np.uint8)
     P = int(iu.shape[0])
     if P == 0:
-        return True
+        return
 
-    f3, i9 = _pair_columns(sc, *cols)
-    ii = np.ascontiguousarray(iu.astype(np.int32))
-    jj = np.ascontiguousarray(ju.astype(np.int32))
+    if lib is not None:
+        f3, i9 = _pair_columns(sc, *cols)
+        ii = np.ascontiguousarray(iu.astype(np.int32))
+        jj = np.ascontiguousarray(ju.astype(np.int32))
+        _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, None, samp_w)
+        return
 
-    _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, None)
-    return True
+    ibs0, shet, shom, h1, h2, o1, o2, n = cols
+    for p in range(P):
+        r = Relate(
+            ibs0=int(ibs0[p]),
+            ibs2=int(shet[p] + shom[p]),
+            shared_homs=int(shom[p]),
+            shared_hets=int(shet[p]),
+            hets1=int(h1[p]),
+            homs1=int(o1[p]),
+            hets2=int(h2[p]),
+            homs2=int(o2[p]),
+        )
+        r.hom_concord = cpp_div(
+            float(r.shared_homs) - 2.0 * float(r.ibs0),
+            float(min(r.homs1, r.homs2)),
+        )
+        r.relatedness = cpp_div(
+            float(r.shared_hets) - 2.0 * float(r.ibs0),
+            float(min(r.hets1, r.hets2)),
+        )
+        res = PairResult(
+            i=int(iu[p]), j=int(ju[p]), score=float(sc[p]),
+            n=int(n[p]), relate=r,
+        )
+        out.write(results_row(data, res, "-1", opts))
+        out.write("\n")
 
 
 def _triangle_vectors(stats, N):
@@ -1064,40 +1101,62 @@ def _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dist, samp_w=None):
         out.write(buf[:nb].tobytes().decode("utf-8"))
 
 
+STREAM_PAIRS = 1 << 20  # packed-blob pairs per fetch chunk (~40 MB)
+
+
 def compute_score_all_tpu(data: CountData, opts: Options, out) -> None:
     """All-vs-all output identical in layout to the exact engine."""
     mesh = _auto_mesh()
-    stats = compute_pair_stats_tpu(data, opts, mesh=mesh, packed=mesh is None)
     out.write(HEADER)
     out.write("\n")
-    if _write_rows_native(data, opts, out, stats):
+    if mesh is None and data.n_samples >= 2:
+        _stream_packed_rows(data, opts, out)
         return
-    iu, ju, score, cols = _triangle_vectors(stats, data.n_samples)
-    ibs0, shet, shom, h1, h2, o1, o2, n = cols
-    for p in range(int(iu.shape[0])):
-        if not (opts.all or score[p] < opts.score_thresh):
-            continue
-        r = Relate(
-            ibs0=int(ibs0[p]),
-            ibs2=int(shet[p] + shom[p]),
-            shared_homs=int(shom[p]),
-            shared_hets=int(shet[p]),
-            hets1=int(h1[p]),
-            homs1=int(o1[p]),
-            hets2=int(h2[p]),
-            homs2=int(o2[p]),
-        )
-        r.hom_concord = cpp_div(
-            float(r.shared_homs) - 2.0 * float(r.ibs0),
-            float(min(r.homs1, r.homs2)),
-        )
-        r.relatedness = cpp_div(
-            float(r.shared_hets) - 2.0 * float(r.ibs0),
-            float(min(r.hets1, r.hets2)),
-        )
-        res = PairResult(
-            i=int(iu[p]), j=int(ju[p]), score=float(score[p]),
-            n=int(n[p]), relate=r,
-        )
-        out.write(results_row(data, res, "-1", opts))
-        out.write("\n")
+    stats = compute_pair_stats_tpu(data, opts, mesh=mesh)
+    iu, ju, sc, cols = _triangle_vectors(stats, data.n_samples)
+    lib = _load_row_formatter()
+    samp_w = _sample_strings(data) if lib is not None else None
+    _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w)
+
+
+def _stream_packed_rows(data: CountData, opts: Options, out) -> None:
+    """Single-device all-vs-all: fetch the device triangle blob in
+    STREAM_PAIRS chunks on a prefetch thread while the host finalizes and
+    formats the previous chunk — device->host transfer (the score-phase
+    bound on the tunneled runtime) overlaps the ~1 us/row native
+    formatting.  Emission order is row-major i<j, identical to the
+    unstreamed path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    N = data.n_samples
+    a_np, b_np = _wire_planes(data)
+    tallies_d, s1_d, jint_d, a_d, b_d, v_t = _planes_and_tallies(
+        jnp.asarray(a_np),
+        jnp.asarray(b_np),
+        mc=float(opts.min_cov),
+        chunk=CHUNK,
+    )
+    buf_d = _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N)
+    P = (N * (N - 1)) // 2
+    iu, ju = np.triu_indices(N, 1)
+    lib = _load_row_formatter()
+    samp_w = _sample_strings(data) if lib is not None else None
+    keys = (
+        "ibs0", "shared_hets", "shared_homs",
+        "hets1", "hets2", "homs1", "homs2", "n",
+    )
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(np.asarray, buf_d[:, : min(STREAM_PAIRS, P)])
+        for p0 in range(0, P, STREAM_PAIRS):
+            p1 = min(p0 + STREAM_PAIRS, P)
+            cur = fut.result()
+            if p1 < P:
+                fut = ex.submit(
+                    np.asarray, buf_d[:, p1 : min(p1 + STREAM_PAIRS, P)]
+                )
+            sl = slice(p0, p1)
+            chunk = _finalize_packed(data, opts, cur, iu[sl], ju[sl])
+            _emit_pair_chunk(
+                data, opts, out, iu[sl], ju[sl], chunk["score"],
+                [chunk[k] for k in keys], lib, samp_w,
+            )

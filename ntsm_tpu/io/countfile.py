@@ -293,6 +293,11 @@ def load_count_wires(paths, pad_to: int = 256):
             return None
         samp_mc[s], samp_sum[s] = samp
         tks[s], kss[s] = tk.value, ks.value
+    if int(wa.max()) < 256 and int(wb.max()) < 256:
+        # u8 wire tier: real coverage depths keep site max-counts well
+        # under 256, halving the (upload-dominated) plane bytes again
+        wa = wa.astype(np.uint8)
+        wb = wb.astype(np.uint8)
     return (
         locus_ids, dist[:L].copy(), wa, wb, site_acc, samp_mc, samp_sum,
         tks, kss,

@@ -168,8 +168,10 @@ def test_native_row_formatter_matches_python_loop(rng):
     def emit(opts, use_native):
         out = io.StringIO()
         if use_native:
-            ok = evt._write_rows_native(data, opts, out, stats)
-            assert ok, "native formatter unavailable"
+            lib = evt._load_row_formatter()
+            assert lib is not None, "native formatter unavailable"
+            iu, ju, sc_v, cols = evt._triangle_vectors(stats, N)
+            evt._emit_pair_chunk(data, opts, out, iu, ju, sc_v, cols, lib, None)
         else:
             # the Python loop body of compute_score_all_tpu
             from ntsm_tpu.eval.exact import PairResult, Relate, results_row

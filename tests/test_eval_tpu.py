@@ -147,14 +147,19 @@ def test_packed_stats_match_full(data):
     np.testing.assert_array_equal(packed["score"][~finite], fs[~finite])
 
 
-@pytest.mark.parametrize("all_flag", [True, False])
-def test_packed_output_rows_match_exact(data, monkeypatch, all_flag):
+@pytest.mark.parametrize("all_flag,stream_pairs", [
+    (True, None), (False, None), (True, 3), (False, 3),
+])
+def test_packed_output_rows_match_exact(data, monkeypatch, all_flag, stream_pairs):
     """End-to-end -a / default output through the packed single-device
-    path vs the exact engine: every non-score column byte-identical."""
+    streaming path vs the exact engine: every non-score column
+    byte-identical.  stream_pairs=3 forces multi-chunk streaming."""
     import ntsm_tpu.eval.tpu as T
     from ntsm_tpu.eval.exact import compute_score_all
 
     monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    if stream_pairs is not None:
+        monkeypatch.setattr(T, "STREAM_PAIRS", stream_pairs)
     opts = Options(all=all_flag, engine="tpu")
     tpu_out = io.StringIO()
     compute_score_all_tpu(data, opts, tpu_out)
@@ -209,9 +214,13 @@ def test_packed_tile_boundary(rng):
 
 
 def test_wire_u16_and_overflow_guard():
-    """_wire: u16 for small counts, f32 passthrough in between, and a loud
-    error (not silent rounding) past 2^24 where f32 loses integers."""
+    """_wire: u8/u16 tiers for small counts, f32 passthrough in between,
+    and a loud error (not silent rounding) past 2^24 where f32 loses
+    integers."""
     from ntsm_tpu.eval.tpu import _wire
+
+    tiny = np.array([[0.0, 255.0]], dtype=np.float32)
+    assert _wire(tiny).dtype == np.uint8
 
     small = np.array([[0.0, 65535.0]], dtype=np.float32)
     assert _wire(small).dtype == np.uint16

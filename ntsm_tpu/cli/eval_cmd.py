@@ -177,7 +177,7 @@ def run(argv) -> int:
     import contextlib
 
     from ntsm_tpu.eval.driver import run_eval
-    from ntsm_tpu.eval.model import load_count_data
+    from ntsm_tpu.eval.tpu import load_count_data_eval as load_count_data
 
     shield = contextlib.nullcontext()
     out = sys.stdout

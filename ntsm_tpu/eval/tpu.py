@@ -128,6 +128,98 @@ def _wire_planes(data) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def _device_planes(data) -> tuple:
+    """Device-resident count planes for the single-device paths: planes
+    already uploaded during the parse (load_count_data_eval's streaming
+    loader) when available, else one upload here."""
+    dev = getattr(data, "dev_planes", None)
+    if dev is not None:
+        return dev
+    a_np, b_np = _wire_planes(data)
+    return jnp.asarray(a_np), jnp.asarray(b_np)
+
+
+def _upload_wires_streaming(paths, block_rows: int = 256):
+    """Parse count files into wire planes while uploading each finished
+    256-row block to the device on a worker thread — the host parse
+    (~6 ms/file) and the host->device plane transfer (the eval load
+    phase's two big costs) overlap instead of serializing.
+
+    Returns (wires_tuple, (a_dev, b_dev)) or None when the wire loader
+    can't apply (caller falls back to the plain loaders; any blocks
+    already transferred are simply dropped).  Per-block u8 narrowing
+    matches load_count_wires' whole-plane tiering: a block rides the u8
+    wire iff its own max fits, and the device concat widens every block
+    to the widest dtype seen."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ntsm_tpu.io.countfile import load_count_wires
+
+    futs: list = []
+
+    def _put(blk: np.ndarray):
+        x = blk.astype(np.uint8) if int(blk.max()) < 256 else blk
+        d = jnp.asarray(x)
+        # real backpressure: one in-flight transfer at a time (deep
+        # upload queues trip the tunnel client's inflight throttle)
+        d.block_until_ready()
+        return d
+
+    with ThreadPoolExecutor(1) as ex:
+
+        def cb(s0, s1, wa_blk, wb_blk):
+            futs.append((ex.submit(_put, wa_blk), ex.submit(_put, wb_blk)))
+
+        wires = load_count_wires(paths, block_cb=cb, block_rows=block_rows)
+        blocks = [(fa.result(), fb.result()) for fa, fb in futs]
+    if wires is None or not blocks:
+        return None
+    wide = any(d.dtype == jnp.uint16 for pair in blocks for d in pair)
+    dt = jnp.uint16 if wide else jnp.uint8
+    a_d = jnp.concatenate([a.astype(dt) for a, _ in blocks], axis=0)
+    b_d = jnp.concatenate([b.astype(dt) for _, b in blocks], axis=0)
+    return wires, (a_d, b_d)
+
+
+def load_count_data_eval(paths, opts: Options) -> CountData:
+    """CountData for the eval CLI: on the single-process device paths the
+    plane upload rides the parse loop (_upload_wires_streaming), so the
+    load phase costs max(parse, transfer) instead of their sum.  The
+    exact engine, multi-host runs, merge-only mode, and -b debug defer to
+    the plain loader (they never upload these planes, or shard them
+    differently)."""
+    from ntsm_tpu.eval.model import load_count_data
+
+    if (
+        getattr(opts, "engine", "tpu") == "exact"
+        or len(paths) < 2
+        or getattr(opts, "only_merge", False)
+        or getattr(opts, "debug", False)
+        or jax.process_count() > 1
+        or _auto_mesh() is not None
+    ):
+        return load_count_data(paths, opts)
+    res = _upload_wires_streaming(paths)
+    if res is None:
+        return load_count_data(paths, opts)
+    wires, dev = res
+    locus_ids, distinct, wa, wb, site_acc, samp_mc, samp_sum, tks, kss = wires
+    data = CountData(
+        filenames=list(paths),
+        locus_ids=locus_ids,
+        distinct=distinct,
+        raw_total_kmers=tks,
+        ks=kss,
+        total_counts=samp_mc,
+        wire_at=wa,
+        wire_cg=wb,
+        site_acc=site_acc,
+        samp_sum=samp_sum,
+    ).prepare(opts)
+    data.dev_planes = dev
+    return data
+
+
 def _two_sum(hi, lo, p):
     """Compensated (Knuth two-sum) f32-pair accumulation.
 
@@ -422,9 +514,8 @@ def compute_pair_stats_tpu(
     transfers into one.  Returns per-pair vectors (see _finalize_packed).
     """
     N = data.n_samples
-    a_np, b_np = _wire_planes(data)
-
     if mesh is not None:
+        a_np, b_np = _wire_planes(data)
         D = mesh.devices.size
         pad_n = (-N) % D
         if pad_n:  # zero-count pad rows produce n=0 pairs, sliced off below
@@ -485,8 +576,7 @@ def compute_pair_stats_tpu(
         return _finalize_stats(data, opts, tallies, s1, J)
 
     tallies_d, s1_d, jint_d, a_d, b_d, v_t = _planes_and_tallies(
-        jnp.asarray(a_np),
-        jnp.asarray(b_np),
+        *_device_planes(data),
         mc=float(opts.min_cov),
         chunk=CHUNK,
     )
@@ -780,9 +870,7 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     if not pairs:
         return
 
-    a_np, b_np = _wire_planes(data)
-    A = jnp.asarray(a_np)
-    B = jnp.asarray(b_np)
+    A, B = _device_planes(data)
     cov = data.cov.astype(np.float64)
 
     from ntsm_tpu import native as _native
@@ -1129,10 +1217,8 @@ def _stream_packed_rows(data: CountData, opts: Options, out) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     N = data.n_samples
-    a_np, b_np = _wire_planes(data)
     tallies_d, s1_d, jint_d, a_d, b_d, v_t = _planes_and_tallies(
-        jnp.asarray(a_np),
-        jnp.asarray(b_np),
+        *_device_planes(data),
         mc=float(opts.min_cov),
         chunk=CHUNK,
     )

@@ -204,7 +204,8 @@ def load_count_arrays(paths):
     return locus_ids, distinct, mc, sc, tks, kss
 
 
-def load_count_wires(paths, pad_to: int = 256):
+def load_count_wires(paths, pad_to: int = 256, block_cb=None,
+                     block_rows: int = 256):
     """Wire-plane bulk loader: parses straight into the eval engine's
     padded u16 upload planes plus the integer accumulators that replace
     the full [N, L, 2] planes (ntsm_parse_counts3).
@@ -215,6 +216,12 @@ def load_count_wires(paths, pad_to: int = 256):
     when the native library is absent, any count exceeds u16, or any file
     needs locus reordering — the caller then falls back to
     load_count_arrays (int32 planes) / load_count_files (exact int64).
+
+    block_cb(s0, s1, wa_blk, wb_blk) is invoked after rows [s0, s1) are
+    final (u16 row views into the planes, never rewritten afterwards),
+    every block_rows samples — the eval engine uses it to overlap the
+    host->device plane upload with the parse.  On a None return (fallback)
+    the caller must discard whatever the callback consumed.
 
     Motivation: fresh multi-GB allocations first-touch at ~60 MB/s on this
     host (VM page-fault pathology, measured scripts/profile_eval_load.py);
@@ -270,6 +277,17 @@ def load_count_wires(paths, pad_to: int = 256):
     site_acc += acc0[:L]
     samp_mc[0], samp_sum[0] = samp
     tks[0], kss[0] = tk.value, ks.value
+    cb_done = 0
+
+    def _maybe_cb(done):
+        nonlocal cb_done
+        if block_cb is not None and (
+            done - cb_done >= block_rows or (done == N and done > cb_done)
+        ):
+            block_cb(cb_done, done, wa[cb_done:done], wb[cb_done:done])
+            cb_done = done
+
+    _maybe_cb(1)
     for s in range(1, N):
         with open(paths[s], "rb") as fh:
             buf = fh.read()
@@ -293,6 +311,7 @@ def load_count_wires(paths, pad_to: int = 256):
             return None
         samp_mc[s], samp_sum[s] = samp
         tks[s], kss[s] = tk.value, ks.value
+        _maybe_cb(s + 1)
     if int(wa.max()) < 256 and int(wb.max()) < 256:
         # u8 wire tier: real coverage depths keep site max-counts well
         # under 256, halving the (upload-dominated) plane bytes again

@@ -91,8 +91,8 @@ def make_pca_artifacts(outdir: str, rng, dims: int = 20):
 
 
 def main() -> None:
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")
-           and (len(sys.argv) < 3 or sys.argv[sys.argv.index(a) - 1] != "--ref")]
+    pos = [a for i, a in enumerate(sys.argv[1:], 1) if not a.startswith("--")
+           and sys.argv[i - 1] not in ("--ref", "--dir")]
     n_samples = int(pos[0]) if pos else 256
     ref_bin = None
     if "--ref" in sys.argv:
@@ -102,15 +102,23 @@ def main() -> None:
     dirty_frac = 0.3 if pca_mode else 0.0
 
     rng = np.random.default_rng(123)
-    tmp = tempfile.mkdtemp(prefix="ntsm_evalbench_")
-    t0 = time.perf_counter()
-    paths = make_count_files(tmp, n_samples, rng, dirty_frac=dirty_frac)
-    print(f"# generated {n_samples} count files in {time.perf_counter()-t0:.1f} s",
-          file=sys.stderr)
+    if "--dir" in sys.argv:  # reuse a previously generated cohort
+        import glob
+
+        tmp = sys.argv[sys.argv.index("--dir") + 1]
+        paths = sorted(glob.glob(os.path.join(tmp, "s*_counts.txt")))[:n_samples]
+        n_samples = len(paths)
+        print(f"# reusing {n_samples} count files from {tmp}", file=sys.stderr)
+    else:
+        tmp = tempfile.mkdtemp(prefix="ntsm_evalbench_")
+        t0 = time.perf_counter()
+        paths = make_count_files(tmp, n_samples, rng, dirty_frac=dirty_frac)
+        print(f"# generated {n_samples} count files in {time.perf_counter()-t0:.1f} s",
+              file=sys.stderr)
     n_pairs = n_samples * (n_samples - 1) // 2
 
     # --- our engine, end-to-end through the CLI code path ---
-    from ntsm_tpu.eval.model import load_count_data
+    from ntsm_tpu.eval.tpu import load_count_data_eval as load_count_data
     from ntsm_tpu.options import Options
 
     if exact_mode:
@@ -118,7 +126,7 @@ def main() -> None:
     else:
         from ntsm_tpu.eval.tpu import compute_score_all_tpu as _score_all
 
-    opts = Options(all=True)
+    opts = Options(all=True, engine="exact" if exact_mode else "tpu")
     t0 = time.perf_counter()
     data = load_count_data(paths, opts)
     t_load = time.perf_counter() - t0

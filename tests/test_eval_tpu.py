@@ -232,3 +232,97 @@ def test_wire_u16_and_overflow_guard():
     huge = np.array([[2.0**24 + 2.0]], dtype=np.float64)
     with pytest.raises(ValueError, match="2\\^24"):
         _wire(huge)
+
+
+def test_streaming_loader_blocks_cover_planes():
+    """load_count_wires block_cb: contiguous [s0, s1) coverage, views
+    that vstack back to the returned planes (pre-u8-downcast values)."""
+    from ntsm_tpu.io.countfile import load_count_wires
+
+    seen = []
+    blocks_a, blocks_b = [], []
+
+    def cb(s0, s1, wa_blk, wb_blk):
+        seen.append((s0, s1))
+        blocks_a.append(wa_blk.copy())
+        blocks_b.append(wb_blk.copy())
+
+    wires = load_count_wires(COUNT_FILES, block_cb=cb, block_rows=2)
+    if wires is None:
+        pytest.skip("native wire loader unavailable")
+    assert seen == [(0, 2), (2, 4), (4, 5)]
+    wa, wb = wires[2], wires[3]
+    np.testing.assert_array_equal(
+        np.vstack(blocks_a).astype(wa.dtype), wa
+    )
+    np.testing.assert_array_equal(
+        np.vstack(blocks_b).astype(wb.dtype), wb
+    )
+
+
+def test_streaming_loader_output_parity(monkeypatch):
+    """End-to-end -a output from load_count_data_eval (upload overlapped
+    with the parse, multi-block) is byte-identical to the plain-loader
+    path, and the device planes round-trip the wire values."""
+    import functools
+
+    import ntsm_tpu.eval.tpu as T
+    from ntsm_tpu.eval.model import load_count_data as plain_load
+
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    orig = T._upload_wires_streaming
+    monkeypatch.setattr(
+        T, "_upload_wires_streaming", functools.partial(orig, block_rows=2)
+    )
+    opts = Options(all=True, engine="tpu")
+    d_stream = T.load_count_data_eval(COUNT_FILES, opts)
+    if getattr(d_stream, "dev_planes", None) is None:
+        pytest.skip("native wire loader unavailable")
+    a_d, b_d = d_stream.dev_planes
+    np.testing.assert_array_equal(np.asarray(a_d), d_stream.wire_at)
+    np.testing.assert_array_equal(np.asarray(b_d), d_stream.wire_cg)
+
+    d_plain = plain_load(COUNT_FILES, opts)
+    s_out, p_out = io.StringIO(), io.StringIO()
+    compute_score_all_tpu(d_stream, opts, s_out)
+    compute_score_all_tpu(d_plain, opts, p_out)
+    assert s_out.getvalue() == p_out.getvalue()
+
+
+def test_streaming_loader_mixed_u8_u16_blocks(tmp_path, monkeypatch):
+    """A cohort whose first sample fits u8 but a later one needs u16:
+    per-block wires differ in dtype and the device concat widens to u16
+    with values intact."""
+    import functools
+
+    import ntsm_tpu.eval.tpu as T
+    from ntsm_tpu.io.countfile import format_counts
+
+    rng = np.random.default_rng(5)
+    L = 40
+    ids = [f"rs{i}" for i in range(L)]
+    distinct = np.full((L, 2), 7, dtype=np.int64)
+    paths = []
+    for s, top in enumerate([40, 300, 50]):
+        mx = rng.integers(0, top, size=(L, 2)).astype(np.int64)
+        if s == 1:
+            mx[3, 0] = 300  # forces the u16 tier for this block
+        sm = mx * 7
+        text = format_counts(ids, mx, sm, distinct, int(mx.sum() * 100), 19)
+        p = tmp_path / f"s{s}_counts.txt"
+        p.write_text(text)
+        paths.append(str(p))
+
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    orig = T._upload_wires_streaming
+    monkeypatch.setattr(
+        T, "_upload_wires_streaming", functools.partial(orig, block_rows=1)
+    )
+    opts = Options(all=True, engine="tpu")
+    d = T.load_count_data_eval(paths, opts)
+    if getattr(d, "dev_planes", None) is None:
+        pytest.skip("native wire loader unavailable")
+    a_d, b_d = d.dev_planes
+    assert a_d.dtype == np.uint16
+    np.testing.assert_array_equal(np.asarray(a_d), d.wire_at)
+    np.testing.assert_array_equal(np.asarray(b_d), d.wire_cg)

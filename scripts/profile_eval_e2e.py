@@ -26,29 +26,27 @@ def main() -> None:
     paths = sorted(glob.glob(os.path.join(d, "s*_counts.txt")))[:n]
     log(f"{len(paths)} count files")
 
-    from ntsm_tpu.eval.model import load_count_data
     from ntsm_tpu.options import Options
 
-    opts = Options(all=True)
-    t0 = time.perf_counter()
-    data = load_count_data(paths, opts)
-    log(f"load_count_data: {time.perf_counter()-t0:.1f} s")
+    opts = Options(all=True, engine="tpu")
 
     import numpy as np
-    import jax.numpy as jnp
 
     import ntsm_tpu.eval.tpu as T
 
+    t0 = time.perf_counter()
+    data = T.load_count_data_eval(paths, opts)
+    dev = getattr(data, "dev_planes", None)
+    log(
+        f"load_count_data_eval (parse+upload overlapped, "
+        f"dev={'none' if dev is None else str(dev[0].dtype)}): "
+        f"{time.perf_counter()-t0:.1f} s"
+    )
+
     N = data.n_samples
     t0 = time.perf_counter()
-    a_np, b_np = T._wire_planes(data)
-    log(f"_wire_planes ({a_np.dtype}, {a_np.nbytes/1e6:.0f} MB/allele): "
-        f"{time.perf_counter()-t0:.1f} s")
-
-    t0 = time.perf_counter()
     tallies_d, s1_d, jint_d, a_d, b_d, v_t = T._planes_and_tallies(
-        jnp.asarray(a_np), jnp.asarray(b_np),
-        mc=float(opts.min_cov), chunk=T.CHUNK,
+        *T._device_planes(data), mc=float(opts.min_cov), chunk=T.CHUNK,
     )
     log(f"_planes_and_tallies dispatch: {time.perf_counter()-t0:.1f} s")
 

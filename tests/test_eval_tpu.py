@@ -326,3 +326,43 @@ def test_streaming_loader_mixed_u8_u16_blocks(tmp_path, monkeypatch):
     assert a_d.dtype == np.uint16
     np.testing.assert_array_equal(np.asarray(a_d), d.wire_at)
     np.testing.assert_array_equal(np.asarray(b_d), d.wire_cg)
+
+
+def test_streaming_loader_fallback_discards_blocks(tmp_path, monkeypatch):
+    """A locus-reordered file makes the wire loader bail AFTER earlier
+    blocks were already shipped: load_count_data_eval must fall back to
+    the plain loaders (no dev_planes) and still produce correct output."""
+    import functools
+
+    import ntsm_tpu.eval.tpu as T
+
+    src = [open(p).read() for p in COUNT_FILES[:3]]
+    # reorder the data rows of the last sample (keep header lines first)
+    lines = src[2].splitlines()
+    head = [ln for ln in lines if ln.startswith("#")]
+    rows = [ln for ln in lines if not ln.startswith("#")]
+    reordered = "\n".join(head + rows[::-1]) + "\n"
+    paths = []
+    for i, text in enumerate([src[0], src[1], reordered]):
+        p = tmp_path / f"s{i}_counts.txt"
+        p.write_text(text)
+        paths.append(str(p))
+
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    orig = T._upload_wires_streaming
+    monkeypatch.setattr(
+        T, "_upload_wires_streaming", functools.partial(orig, block_rows=1)
+    )
+    opts = Options(all=True, engine="tpu")
+    d = T.load_count_data_eval(paths, opts)
+    assert getattr(d, "dev_planes", None) is None  # fell back
+    # fallback output matches the plain loader on the original files
+    # (row order within a count file must not matter)
+    from ntsm_tpu.eval.model import load_count_data
+
+    d_ref = load_count_data(COUNT_FILES[:3], opts)
+    got, want = io.StringIO(), io.StringIO()
+    compute_score_all_tpu(d, opts, got)
+    compute_score_all_tpu(d_ref, opts, want)
+    strip = lambda s: [ln.split("\t")[2:] for ln in s.splitlines()[1:]]
+    assert strip(got.getvalue()) == strip(want.getvalue())

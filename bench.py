@@ -35,6 +35,30 @@ REF_BASES_PER_S = 11.65e6  # ntsmCount v1.2.1, 1 thread, this host (see above)
 
 
 def main() -> None:
+    # The tunneled TPU backend can become unreachable (observed multi-hour
+    # outages); a silent hang here would leave the round with no benchmark
+    # record at all.  A watchdog turns that into an explicit failure line.
+    import os
+    import signal
+
+    def _give_up(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "count_bases_per_s",
+                    "value": 0,
+                    "unit": "base/s",
+                    "vs_baseline": 0,
+                    "error": "timeout: device backend unreachable",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _give_up)
+    signal.alarm(int(os.environ.get("NTSM_BENCH_TIMEOUT_S", "1800")))
+
     import jax
     import jax.numpy as jnp
 
@@ -90,6 +114,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
     bases_per_s = iters * B * L / dt
 
+    signal.alarm(0)
     print(
         json.dumps(
             {

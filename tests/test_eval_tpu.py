@@ -366,3 +366,19 @@ def test_streaming_loader_fallback_discards_blocks(tmp_path, monkeypatch):
     compute_score_all_tpu(d_ref, opts, want)
     strip = lambda s: [ln.split("\t")[2:] for ln in s.splitlines()[1:]]
     assert strip(got.getvalue()) == strip(want.getvalue())
+
+
+@pytest.mark.parametrize("all_flag", [True, False])
+def test_stream_python_fallback_matches_native(data, monkeypatch, all_flag):
+    """_emit_pair_chunk's per-row Python fallback (native lib absent)
+    emits byte-identical rows to the native C formatter."""
+    import ntsm_tpu.eval.tpu as T
+
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    opts = Options(all=all_flag, engine="tpu")
+    native_out = io.StringIO()
+    compute_score_all_tpu(data, opts, native_out)
+    monkeypatch.setattr(T, "_load_row_formatter", lambda: None)
+    py_out = io.StringIO()
+    compute_score_all_tpu(data, opts, py_out)
+    assert py_out.getvalue() == native_out.getvalue()

@@ -41,19 +41,9 @@ import os as _os
 if not _os.environ.get("NTSM_NO_COMPILE_CACHE") and not _os.environ.get(
     "JAX_COMPILATION_CACHE_DIR"
 ):
-    import hashlib as _hashlib
-    import platform as _platform
+    from ntsm_tpu.utils.machine import machine_signature as _msig
 
-    _sig_src = _platform.machine()
-    try:
-        with open("/proc/cpuinfo") as _fh:
-            for _line in _fh:
-                if _line.startswith(("flags", "Features")):
-                    _sig_src += _line
-                    break
-    except OSError:
-        pass
-    _sig = _hashlib.sha1(_sig_src.encode()).hexdigest()[:12]
+    _sig = _msig()
     _cache = _os.path.join(
         _os.path.expanduser("~"), ".cache", "ntsm_tpu", f"xla-{_sig}"
     )

@@ -159,14 +159,28 @@ def run(argv) -> int:
         if opts.checkpoint:
             # per-process snapshots: each host checkpoints its own file
             # shard under a rank-tagged path (the shard's filenames are in
-            # the snapshot signature, so a resume with a different world
-            # size errors loudly instead of silently mixing shards)
-            opts = opts.replace(
-                checkpoint=(
-                    f"{opts.checkpoint}.rank{jax.process_index()}"
-                    f"of{jax.process_count()}"
+            # the snapshot signature, guarding same-world-size shard
+            # mixups).  A resume with a DIFFERENT world size would never
+            # match the rank-tagged names and silently recount from zero,
+            # so scan for stale tags and error loudly instead.
+            import glob as _glob
+
+            tag = f".rank{jax.process_index()}of{jax.process_count()}"
+            stale = [
+                p
+                for p in _glob.glob(f"{opts.checkpoint}.rank*of*")
+                if not p.endswith(f"of{jax.process_count()}")
+            ]
+            if stale:
+                print(
+                    f"ntsm count: checkpoint {opts.checkpoint} has "
+                    f"snapshots from a different world size "
+                    f"({os.path.basename(stale[0])}); resume with the "
+                    "original process count or delete them",
+                    file=sys.stderr,
                 )
-            )
+                return 1
+            opts = opts.replace(checkpoint=opts.checkpoint + tag)
         if opts.verbose:
             print(
                 f"ntsm count: process {jax.process_index()}/"

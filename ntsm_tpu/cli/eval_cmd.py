@@ -161,8 +161,18 @@ def run(argv) -> int:
     if opts.engine == "auto":
         # exact (host f64, bit parity) runs at ~2800 pairs/s via the native
         # kernel; the device engine's fixed upload/compile cost only pays
-        # for itself at cohort scale (crossover ~500 samples measured)
-        opts = opts.replace(engine="exact" if len(files) <= 256 else "tpu")
+        # for itself at cohort scale (crossover ~500 samples measured).
+        # Without the native kernel the exact engine is the ~45 pairs/s
+        # Python loop, so the crossover drops to where that stays seconds.
+        from ntsm_tpu import native as _native
+
+        _lib = _native.load()
+        cutoff = (
+            256
+            if _lib is not None and hasattr(_lib, "ntsm_exact_pairs")
+            else 32
+        )
+        opts = opts.replace(engine="exact" if len(files) <= cutoff else "tpu")
     elif opts.engine == "exact" and len(files) > 1000 and not opts.only_merge:
         n_pairs = len(files) * (len(files) - 1) // 2
         print(

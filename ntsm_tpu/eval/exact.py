@@ -181,10 +181,19 @@ def native_pair_stats(data: CountData, opts: Options, ii, jj):
         return None
 
     N, L = data.n_samples, data.n_sites
-    A = np.ascontiguousarray(data.max_counts[:, :, 0].astype(np.float64))
-    B = np.ascontiguousarray(data.max_counts[:, :, 1].astype(np.float64))
-    CLS = np.ascontiguousarray(data.cls)
-    S = np.ascontiguousarray(data.s_single)
+    # loop-invariant planes cached on the CountData: compute_score_all
+    # calls this per 2^18-pair block, and rebuilding the f64 A/B copies
+    # (~2.5 GB each at N=3202) per block costs minutes of host first-touch
+    planes = getattr(data, "_exact_native_planes", None)
+    if planes is None:
+        planes = (
+            np.ascontiguousarray(data.max_counts[:, :, 0].astype(np.float64)),
+            np.ascontiguousarray(data.max_counts[:, :, 1].astype(np.float64)),
+            np.ascontiguousarray(data.cls),
+            np.ascontiguousarray(data.s_single),
+        )
+        data._exact_native_planes = planes
+    A, B, CLS, S = planes
     ii = np.ascontiguousarray(ii, dtype=np.int32)
     jj = np.ascontiguousarray(jj, dtype=np.int32)
     P = int(ii.shape[0])

@@ -183,10 +183,14 @@ class CountData:
         return self
 
 
-def load_count_data(paths, opts: Options) -> CountData:
+def load_count_data(paths, opts: Options, try_wires: bool = True) -> CountData:
+    """try_wires=False skips the wire-loader attempt — used by
+    load_count_data_eval's fallback, which has already run (and failed)
+    the identical wire parse; retrying it here would re-read the whole
+    cohort a second time before the plane loaders run."""
     from ntsm_tpu.io.countfile import load_count_arrays, load_count_wires
 
-    if getattr(opts, "engine", "tpu") != "exact":
+    if try_wires and getattr(opts, "engine", "tpu") != "exact":
         # wire mode: u16 upload planes + accumulators only (the exact
         # engine wants full planes for the bit-parity oracle, so it keeps
         # the plane loaders)

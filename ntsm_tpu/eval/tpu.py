@@ -95,7 +95,12 @@ def _wire_plane(counts: np.ndarray, allele: int, c: int) -> np.ndarray:
     host time for an N=3202 cohort; this is two passes (int max + one
     strided int->u16 copy into the padded buffer).  Semantics identical to
     _wire(_pad_sites(x.astype(f32), c)): u16 when everything fits, else
-    f32 with the 2^24 exactness guard."""
+    f32 with the 2^24 exactness guard.
+
+    Tier policy (u8 < 256 <= u16 < 65536 <= f32, error past 2^24) is
+    deliberately replicated at every wire producer — here, _wire,
+    load_count_wires' whole-plane narrowing, and _upload_wires_streaming's
+    per-block _put — keep them in sync."""
     x = counts[:, :, allele]
     N, L = x.shape
     Lp = L + ((-L) % c)
@@ -201,7 +206,9 @@ def load_count_data_eval(paths, opts: Options) -> CountData:
         return load_count_data(paths, opts)
     res = _upload_wires_streaming(paths)
     if res is None:
-        return load_count_data(paths, opts)
+        # the streaming attempt already ran the full wire parse; don't
+        # let the plain loader repeat it before its plane fallbacks
+        return load_count_data(paths, opts, try_wires=False)
     wires, dev = res
     locus_ids, distinct, wa, wb, site_acc, samp_mc, samp_sum, tks, kss = wires
     data = CountData(
@@ -582,9 +589,12 @@ def compute_pair_stats_tpu(
     )
     import os as _os
 
-    if jax.default_backend() in ("tpu", "axon") and _os.environ.get(
-        "NTSM_PALLAS_JOINT", ""
-    ).lower() in ("1", "true", "yes"):
+    if (
+        not packed  # the packed contract (iu/ju per-pair vectors) wins
+        and jax.default_backend() in ("tpu", "axon")
+        and _os.environ.get("NTSM_PALLAS_JOINT", "").lower()
+        in ("1", "true", "yes")
+    ):
         # opt-in experiment: one Pallas dispatch for the whole [N, N]
         # fractional pass.  Measured SLOWER than the XLA row-tile loop
         # (1.51 s vs 0.92 s at N=1024, value-fetch-inclusive — see

@@ -18,16 +18,28 @@ import sys
 import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libntsm_fastx.so")
+
+
+def _so_path() -> str:
+    """Machine-signature-suffixed .so name: the build uses -march=native,
+    so a binary built on a different CPU generation would SIGILL on its
+    first specialized instruction rather than fail to load — keying the
+    filename by the CPU signature makes a foreign .so invisible (forcing
+    a local rebuild) instead of a latent crash."""
+    from ntsm_tpu.utils.machine import machine_signature
+
+    return os.path.join(_DIR, f"libntsm_fastx-{machine_signature()}.so")
+
+
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(so: str) -> bool:
     try:
         res = subprocess.run(
-            ["make", "-C", _DIR, "-s"],
+            ["make", "-C", _DIR, "-s", f"SO={os.path.basename(so)}"],
             capture_output=True,
             text=True,
             timeout=120,
@@ -56,14 +68,15 @@ def load():
         _tried = True
         if os.environ.get("NTSM_NO_NATIVE"):
             return None
+        so = _so_path()
         _srcs = ("fastx_reader.cpp", "exact_pairs.cpp")
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+        if not os.path.exists(so) or os.path.getmtime(so) < max(
             os.path.getmtime(os.path.join(_DIR, s)) for s in _srcs
         ):
-            if not _build():
+            if not _build(so):
                 return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError as e:
             print(f"ntsm_tpu.native: load failed ({e})", file=sys.stderr)
             return None
@@ -114,6 +127,23 @@ def load():
                 ctypes.POINTER(ctypes.c_long),
                 ctypes.POINTER(ctypes.c_long),
                 ctypes.POINTER(ctypes.c_long),
+            ]
+        if hasattr(lib, "ntsm_parse_counts3"):
+            lib.ntsm_parse_counts3.restype = ctypes.c_long
+            lib.ntsm_parse_counts3.argtypes = [
+                ctypes.c_char_p,  # buf
+                ctypes.c_long,  # len
+                ctypes.c_void_p,  # wa u16 row
+                ctypes.c_void_p,  # wb u16 row
+                ctypes.c_void_p,  # site_acc i64 [L,4]
+                ctypes.c_void_p,  # samp_acc i64 [2]
+                ctypes.c_void_p,  # dist i64 [L,2] or NULL
+                ctypes.c_long,  # cap
+                ctypes.c_void_p,  # ids_out u8
+                ctypes.c_long,  # ids_cap
+                ctypes.POINTER(ctypes.c_long),  # ids_len
+                ctypes.POINTER(ctypes.c_long),  # tk
+                ctypes.POINTER(ctypes.c_long),  # ks
             ]
         if hasattr(lib, "ntsm_exact_pairs"):
             lib.ntsm_exact_pairs.restype = None

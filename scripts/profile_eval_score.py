@@ -1,5 +1,10 @@
 """Itemized eval SCORE-phase profile on the real TPU (VERDICT r2 weak #1).
 
+SUPERSEDED by profile_eval_score2.py: the timings below use
+block_until_ready inside the timed windows, which under-reports on the
+axon tunnel (CLAUDE.md timing rule) — kept only as the record of the
+first (wrong) measurement round.
+
 Round 2's N=3202 score phase was 265 s with "plane upload" as the claimed
 wall, but the u16 wire is ~1.2 GB — ~25 s on a healthy 49 MB/s link.
 This itemizes every stage of compute_score_all_tpu:

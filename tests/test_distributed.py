@@ -257,3 +257,22 @@ def test_distributed_early_term_rechecked_on_merged_totals(rng, tmp_path):
     for rc, out, err in outs:
         assert rc == 0, err.decode()
     assert b"Reached desired (-m) threshold" in outs[0][2]
+
+
+def test_distributed_checkpoint_world_size_mismatch_errors(rng, tmp_path):
+    """Resuming with a different process count must error loudly: the
+    rank-tagged snapshot names would never match and the run would
+    silently recount from zero (self-review r3 finding)."""
+    sites_path, paths = _world(rng, tmp_path, n_files=4)
+    ck = str(tmp_path / "snap.npz")
+    # stale snapshot from a previous 4-process world
+    with open(ck + ".rank0of4", "wb") as fh:
+        fh.write(b"stale")
+
+    argv = [
+        "count", "--checkpoint", ck, "--checkpoint-every", "1",
+        "-s", sites_path,
+    ] + paths
+    outs = _run_cluster(argv, 2, tmp_path)
+    assert all(rc != 0 for rc, _, _ in outs), outs[0][2].decode()
+    assert b"different world size" in outs[0][2]

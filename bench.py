@@ -37,11 +37,13 @@ REF_BASES_PER_S = 11.65e6  # ntsmCount v1.2.1, 1 thread, this host (see above)
 def main() -> None:
     # The tunneled TPU backend can become unreachable (observed multi-hour
     # outages); a silent hang here would leave the round with no benchmark
-    # record at all.  A watchdog turns that into an explicit failure line.
+    # record at all.  A watchdog THREAD (not SIGALRM: the hang is inside a
+    # C PJRT call, where Python signal handlers never run) turns that into
+    # an explicit failure line.
     import os
-    import signal
+    import threading
 
-    def _give_up(signum, frame):
+    def _give_up():
         print(
             json.dumps(
                 {
@@ -56,8 +58,11 @@ def main() -> None:
         )
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, _give_up)
-    signal.alarm(int(os.environ.get("NTSM_BENCH_TIMEOUT_S", "1800")))
+    _watchdog = threading.Timer(
+        float(os.environ.get("NTSM_BENCH_TIMEOUT_S", "1800")), _give_up
+    )
+    _watchdog.daemon = True
+    _watchdog.start()
 
     import jax
     import jax.numpy as jnp
@@ -114,7 +119,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
     bases_per_s = iters * B * L / dt
 
-    signal.alarm(0)
+    _watchdog.cancel()
     print(
         json.dumps(
             {

@@ -150,17 +150,21 @@ def _upload_wires_streaming(paths, block_rows: int = 256):
     (~6 ms/file) and the host->device plane transfer (the eval load
     phase's two big costs) overlap instead of serializing.
 
-    Returns (wires_tuple, (a_dev, b_dev)) or None when the wire loader
-    can't apply (caller falls back to the plain loaders; any blocks
-    already transferred are simply dropped).  Per-block u8 narrowing
-    matches load_count_wires' whole-plane tiering: a block rides the u8
-    wire iff its own max fits, and the device concat widens every block
-    to the widest dtype seen."""
+    Returns (wires_tuple, finish) or None when the wire loader can't
+    apply (caller falls back to the plain loaders; any blocks already
+    transferred are simply dropped).  finish() joins the in-flight
+    transfers and returns (a_dev, b_dev) — deferred so the caller can run
+    prepare() (a few host-seconds at cohort scale) while the tail blocks
+    are still on the wire.  Per-block u8 narrowing matches
+    load_count_wires' whole-plane tiering: a block rides the u8 wire iff
+    its own max fits, and the device concat widens every block to the
+    widest dtype seen."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ntsm_tpu.io.countfile import load_count_wires
 
     futs: list = []
+    ex = ThreadPoolExecutor(1)
 
     def _put(blk: np.ndarray):
         x = blk.astype(np.uint8) if int(blk.max()) < 256 else blk
@@ -170,20 +174,28 @@ def _upload_wires_streaming(paths, block_rows: int = 256):
         d.block_until_ready()
         return d
 
-    with ThreadPoolExecutor(1) as ex:
+    def cb(s0, s1, wa_blk, wb_blk):
+        futs.append((ex.submit(_put, wa_blk), ex.submit(_put, wb_blk)))
 
-        def cb(s0, s1, wa_blk, wb_blk):
-            futs.append((ex.submit(_put, wa_blk), ex.submit(_put, wb_blk)))
-
+    try:
         wires = load_count_wires(paths, block_cb=cb, block_rows=block_rows)
-        blocks = [(fa.result(), fb.result()) for fa, fb in futs]
-    if wires is None or not blocks:
+    except BaseException:
+        ex.shutdown(wait=True)
+        raise
+    if wires is None or not futs:
+        ex.shutdown(wait=True)
         return None
-    wide = any(d.dtype == jnp.uint16 for pair in blocks for d in pair)
-    dt = jnp.uint16 if wide else jnp.uint8
-    a_d = jnp.concatenate([a.astype(dt) for a, _ in blocks], axis=0)
-    b_d = jnp.concatenate([b.astype(dt) for _, b in blocks], axis=0)
-    return wires, (a_d, b_d)
+
+    def finish():
+        blocks = [(fa.result(), fb.result()) for fa, fb in futs]
+        ex.shutdown()
+        wide = any(d.dtype == jnp.uint16 for pair in blocks for d in pair)
+        dt = jnp.uint16 if wide else jnp.uint8
+        a_d = jnp.concatenate([a.astype(dt) for a, _ in blocks], axis=0)
+        b_d = jnp.concatenate([b.astype(dt) for _, b in blocks], axis=0)
+        return a_d, b_d
+
+    return wires, finish
 
 
 def load_count_data_eval(paths, opts: Options) -> CountData:
@@ -209,7 +221,7 @@ def load_count_data_eval(paths, opts: Options) -> CountData:
         # the streaming attempt already ran the full wire parse; don't
         # let the plain loader repeat it before its plane fallbacks
         return load_count_data(paths, opts, try_wires=False)
-    wires, dev = res
+    wires, finish = res
     locus_ids, distinct, wa, wb, site_acc, samp_mc, samp_sum, tks, kss = wires
     data = CountData(
         filenames=list(paths),
@@ -222,8 +234,8 @@ def load_count_data_eval(paths, opts: Options) -> CountData:
         wire_cg=wb,
         site_acc=site_acc,
         samp_sum=samp_sum,
-    ).prepare(opts)
-    data.dev_planes = dev
+    ).prepare(opts)  # runs while the tail upload blocks are in flight
+    data.dev_planes = finish()
     return data
 
 

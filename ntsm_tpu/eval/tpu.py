@@ -620,8 +620,10 @@ def compute_pair_stats_tpu(
         return _finalize_stats(data, opts, tallies, s1, J)
 
     if packed and N >= 2:
-        buf = np.asarray(_blob_from_planes(tallies_d, s1_d, jint_d,
-                                           a_d, b_d, v_t, opts, N))
+        parts = _blob_from_planes(tallies_d, s1_d, jint_d,
+                                  a_d, b_d, v_t, opts, N, data.n_sites)
+        P = (N * (N - 1)) // 2
+        buf = _fetch_blob_slice(parts, 0, P)
         iu, ju = np.triu_indices(N, 1)
         return dict(packed=True, iu=iu, ju=ju,
                     **_finalize_packed(data, opts, buf, iu, ju))
@@ -653,19 +655,25 @@ def _fetch_full(tallies_d, s1_d, jint_d):
     return tallies, s1, jint
 
 
-@jax.jit
-def _pack_triangle(tallies, s1, jint, jfh, jfl):
-    """Gather the i<j triangle of every per-pair statistic on device into
-    one [10, P] f32 blob (P = N(N-1)/2, row-major pair order — matches
-    np.triu_indices(N, 1)).
+@functools.partial(jax.jit, static_argnames=("narrow",))
+def _pack_triangle(tallies, s1, jint, jfh, jfl, narrow: bool):
+    """Gather the i<j triangle of every per-pair statistic on device
+    (P = N(N-1)/2, row-major pair order — matches np.triu_indices(N, 1)).
 
-    Rows: loglik hi, loglik lo, n, ibs0, shared_hets, shared_homs,
-    hets1, hets2, homs1, homs2.  The log-likelihood −2·(J − s1 − s1ᵀ)
-    (CompareCounts.hpp:1093-1099) is folded from its six hi/lo source
-    planes with compensated pair arithmetic (~2⁻⁴⁸ relative, same class
-    as the host f64 combine it replaces); tallies are exact integers in
-    f32.  This trades fourteen [N, N] fetches + two per row tile for one
-    blob at ~2.8x fewer bytes — the score phase is fetch-bound."""
+    Returns (ll [2, P] f32, ints, hi) where ints holds [n, ibs0,
+    shared_hets, shared_homs, hets1, hets2, homs1, homs2]:
+
+    * narrow wire (every statistic < 2¹⁷, i.e. n_sites ≤ 131071 — 1.4x
+      the human site set): ints is u16 low halves and hi is a [P] u8
+      whose bit k carries statistic k's 2¹⁶ bit — 25 B/pair on the wire
+      vs 40 for the all-f32 blob, a 37% cut on the fetch-bound phase.
+    * wide fallback: ints is the exact-integer f32 stack, hi is None.
+
+    The log-likelihood −2·(J − s1 − s1ᵀ) (CompareCounts.hpp:1093-1099) is
+    folded from its six hi/lo source planes with compensated pair
+    arithmetic (~2⁻⁴⁸ relative, same class as the host f64 combine it
+    replaces).  This replaces fourteen [N, N] fetches + two per row tile
+    — the score phase is fetch-bound."""
     n_plane = tallies["n"]
     N = n_plane.shape[0]
     P = (N * (N - 1)) // 2
@@ -686,10 +694,9 @@ def _pack_triangle(tallies, s1, jint, jfh, jfl):
     s1ji = dd_sub(gt(si_hi), gt(si_lo), gt(sf_hi), gt(sf_lo))
     dh, dl = dd_sub(jh, jl, *s1ij)
     dh, dl = dd_sub(dh, dl, *s1ji)
-    return jnp.stack(
+    ll = jnp.stack([-2.0 * dh, -2.0 * dl])
+    ints = jnp.stack(
         [
-            -2.0 * dh,
-            -2.0 * dl,
             g(n_plane),
             g(tallies["ibs0"]),
             g(tallies["shared_hets"]),
@@ -700,13 +707,37 @@ def _pack_triangle(tallies, s1, jint, jfh, jfl):
             gt(tallies["homs1"]),
         ]
     )
+    if not narrow:
+        return ll, ints.astype(jnp.float32), None
+    iv = ints.astype(jnp.int32)
+    lo = (iv & 0xFFFF).astype(jnp.uint16)
+    hi = jnp.sum(
+        (iv >> 16).astype(jnp.uint8) << jnp.arange(8, dtype=jnp.uint8)[:, None],
+        axis=0,
+        dtype=jnp.uint8,
+    )
+    return ll, lo, hi
 
 
-def _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N: int):
-    """Device [10, P] triangle blob for the packed path: runs the joint
+def _unpack_blob(ll, ints, hi):
+    """Host-side inverse of _pack_triangle's wire: (ll [2,p], iv [8,p]
+    int64) from fetched numpy parts."""
+    if hi is not None:
+        iv = ints.astype(np.int64)
+        iv += (
+            (hi[None, :].astype(np.int64) >> np.arange(8)[:, None]) & 1
+        ) << 16
+    else:
+        iv = ints.astype(np.int64)
+    return ll, iv
+
+
+def _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, L):
+    """Device triangle blob parts for the packed path: runs the joint
     fractional row tiles device-resident (no per-tile fetch) and gathers
-    the i<j triangle of every statistic.  Returns the (lazy) device
-    array — callers fetch it whole or stream it in P-chunks."""
+    the i<j triangle of every statistic.  Returns the (lazy)
+    (ll, ints, hi) device tuple of _pack_triangle — callers fetch it
+    whole or stream it in P-chunks."""
     joint_fn = _make_joint_fn(opts.min_cov)
     tiles = []
     for r0 in range(0, N, ROW_TILE):
@@ -714,15 +745,32 @@ def _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N: int):
         tiles.append(joint_fn(ai, bi, vi, a_d, b_d, v_t))
     jfh = jnp.concatenate([t[0] for t in tiles], axis=0)
     jfl = jnp.concatenate([t[1] for t in tiles], axis=0)
-    return _pack_triangle(tallies_d, s1_d, jint_d, jfh[:N], jfl[:N])
+    # every statistic is bounded by n <= n_sites, so the u16+highbit wire
+    # is exact iff the site count fits 17 bits (1.4x the human set)
+    return _pack_triangle(
+        tallies_d, s1_d, jint_d, jfh[:N], jfl[:N],
+        narrow=L <= NARROW_WIRE_MAX_SITES,
+    )
 
 
-def _finalize_packed(data, opts, buf: np.ndarray, iu, ju) -> dict:
-    """Per-pair stats from a fetched [10, p] blob slice whose pairs are
+def _fetch_blob_slice(parts, p0: int, p1: int):
+    """Fetch one [p0:p1) pair slice of the (ll, ints, hi) blob parts to
+    host numpy (the hi row may be None on the wide wire)."""
+    ll, ints, hi = parts
+    return (
+        np.asarray(ll[:, p0:p1]),
+        np.asarray(ints[:, p0:p1]),
+        None if hi is None else np.asarray(hi[p0:p1]),
+    )
+
+
+def _finalize_packed(data, opts, buf, iu, ju) -> dict:
+    """Per-pair stats from fetched blob parts whose pairs are
     (iu[k], ju[k]): same skew / DBL_MAX semantics as _finalize_stats,
     np.triu_indices(N, 1) pair order (hets2/homs2 are transpose gathers)."""
-    ll = buf[0].astype(np.float64) + buf[1].astype(np.float64)
-    n = buf[2].astype(np.int64)
+    llp, iv = _unpack_blob(*buf)
+    ll = llp[0].astype(np.float64) + llp[1].astype(np.float64)
+    n = iv[0]
     cov = data.cov
     with np.errstate(divide="ignore", invalid="ignore"):
         skewed = ll / (cov[iu] * cov[ju]) ** opts.cov_skew
@@ -730,13 +778,13 @@ def _finalize_packed(data, opts, buf: np.ndarray, iu, ju) -> dict:
     return dict(
         score=score,
         n=n,
-        ibs0=buf[3].astype(np.int64),
-        shared_hets=buf[4].astype(np.int64),
-        shared_homs=buf[5].astype(np.int64),
-        hets1=buf[6].astype(np.int64),
-        hets2=buf[7].astype(np.int64),
-        homs1=buf[8].astype(np.int64),
-        homs2=buf[9].astype(np.int64),
+        ibs0=iv[1],
+        shared_hets=iv[2],
+        shared_homs=iv[3],
+        hets1=iv[4],
+        hets2=iv[5],
+        homs1=iv[6],
+        homs2=iv[7],
     )
 
 
@@ -1211,7 +1259,8 @@ def _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dist, samp_w=None):
         out.write(buf[:nb].tobytes().decode("utf-8"))
 
 
-STREAM_PAIRS = 1 << 20  # packed-blob pairs per fetch chunk (~40 MB)
+STREAM_PAIRS = 1 << 20  # packed-blob pairs per fetch chunk (~25 MB narrow)
+NARROW_WIRE_MAX_SITES = (1 << 17) - 1  # u16+highbit wire validity bound
 
 
 def compute_score_all_tpu(data: CountData, opts: Options, out) -> None:
@@ -1244,7 +1293,9 @@ def _stream_packed_rows(data: CountData, opts: Options, out) -> None:
         mc=float(opts.min_cov),
         chunk=CHUNK,
     )
-    buf_d = _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N)
+    parts = _blob_from_planes(
+        tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, data.n_sites
+    )
     P = (N * (N - 1)) // 2
     iu, ju = np.triu_indices(N, 1)
     lib = _load_row_formatter()
@@ -1254,13 +1305,13 @@ def _stream_packed_rows(data: CountData, opts: Options, out) -> None:
         "hets1", "hets2", "homs1", "homs2", "n",
     )
     with ThreadPoolExecutor(1) as ex:
-        fut = ex.submit(np.asarray, buf_d[:, : min(STREAM_PAIRS, P)])
+        fut = ex.submit(_fetch_blob_slice, parts, 0, min(STREAM_PAIRS, P))
         for p0 in range(0, P, STREAM_PAIRS):
             p1 = min(p0 + STREAM_PAIRS, P)
             cur = fut.result()
             if p1 < P:
                 fut = ex.submit(
-                    np.asarray, buf_d[:, p1 : min(p1 + STREAM_PAIRS, P)]
+                    _fetch_blob_slice, parts, p1, min(p1 + STREAM_PAIRS, P)
                 )
             sl = slice(p0, p1)
             chunk = _finalize_packed(data, opts, cur, iu[sl], ju[sl])

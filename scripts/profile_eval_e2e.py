@@ -51,13 +51,13 @@ def main() -> None:
     log(f"_planes_and_tallies dispatch: {time.perf_counter()-t0:.1f} s")
 
     t0 = time.perf_counter()
-    buf_d = T._blob_from_planes(
-        tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N
+    parts = T._blob_from_planes(
+        tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, data.n_sites
     )
     log(f"_blob_from_planes dispatch: {time.perf_counter()-t0:.1f} s")
 
     t0 = time.perf_counter()
-    s = float(buf_d[0, 0])  # forces the whole pipeline
+    s = float(parts[0][0, 0])  # forces the whole pipeline
     log(f"device sync (scalar fetch): {time.perf_counter()-t0:.1f} s")
 
     P = (N * (N - 1)) // 2
@@ -65,8 +65,9 @@ def main() -> None:
     for p0 in range(0, P, T.STREAM_PAIRS):
         p1 = min(p0 + T.STREAM_PAIRS, P)
         t1 = time.perf_counter()
-        chunk = np.asarray(buf_d[:, p0:p1])
-        log(f"  fetch [{p0}:{p1}] ({chunk.nbytes/1e6:.0f} MB): "
+        chunk = T._fetch_blob_slice(parts, p0, p1)
+        nb = sum(c.nbytes for c in chunk if c is not None)
+        log(f"  fetch [{p0}:{p1}] ({nb/1e6:.0f} MB): "
             f"{time.perf_counter()-t1:.1f} s")
     log(f"total fetch: {time.perf_counter()-t0:.1f} s for {P} pairs")
 

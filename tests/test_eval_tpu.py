@@ -382,3 +382,60 @@ def test_stream_python_fallback_matches_native(data, monkeypatch, all_flag):
     py_out = io.StringIO()
     compute_score_all_tpu(data, opts, py_out)
     assert py_out.getvalue() == native_out.getvalue()
+
+
+def test_wide_wire_matches_narrow(data, monkeypatch):
+    """Forcing the wide (all-f32) blob wire produces identical output to
+    the narrow u16+highbit wire."""
+    import ntsm_tpu.eval.tpu as T
+
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    opts = Options(all=True, engine="tpu")
+    narrow_out = io.StringIO()
+    compute_score_all_tpu(data, opts, narrow_out)
+    monkeypatch.setattr(T, "NARROW_WIRE_MAX_SITES", 0)
+    wide_out = io.StringIO()
+    compute_score_all_tpu(data, opts, wide_out)
+    assert wide_out.getvalue() == narrow_out.getvalue()
+
+
+def test_narrow_wire_high_bit(tmp_path, monkeypatch):
+    """A cohort with > 65536 sites drives statistics past u16 (n ~ 70000):
+    the narrow wire's high-bit byte must reconstruct them exactly —
+    integer columns identical to the exact engine."""
+    import ntsm_tpu.eval.tpu as T
+    from ntsm_tpu.eval.exact import compute_score_all
+    from ntsm_tpu.eval.model import load_count_data
+    from ntsm_tpu.io.countfile import format_counts
+
+    rng = np.random.default_rng(11)
+    L = 70000
+    ids = [f"rs{i}" for i in range(L)]
+    distinct = np.full((L, 2), 9, dtype=np.int64)
+    paths = []
+    for s in range(3):
+        geno = rng.integers(0, 3, size=L)
+        at = rng.poisson(12 * (2 - geno)).astype(np.int64)
+        cg = rng.poisson(12 * geno).astype(np.int64)
+        mx = np.stack([at, cg], axis=1)
+        text = format_counts(ids, mx, mx * 9, distinct, int(mx.sum() * 50), 19)
+        p = tmp_path / f"s{s}_counts.txt"
+        p.write_text(text)
+        paths.append(str(p))
+
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    opts = Options(all=True, engine="tpu")
+    d = load_count_data(paths, opts)
+    tpu_out = io.StringIO()
+    compute_score_all_tpu(d, opts, tpu_out)
+    ex_out = io.StringIO()
+    compute_score_all(load_count_data(paths, opts.replace(engine="exact")),
+                      opts, ex_out)
+    got = [ln.split("\t") for ln in tpu_out.getvalue().splitlines()[1:]]
+    want = [ln.split("\t") for ln in ex_out.getvalue().splitlines()[1:]]
+    assert len(got) == len(want) == 3
+    hit_high = False
+    for g, w in zip(got, want):
+        assert g[3:] == w[3:]  # every column except score byte-identical
+        hit_high = hit_high or int(g[15]) >= 65536  # n column
+    assert hit_high, "cohort failed to exercise the 2^16 bit"

@@ -255,3 +255,69 @@ def test_pca_native_emission_matches_python_fallback(rng, monkeypatch):
             b_py = io.StringIO()
             compute_score_pca_tpu(data, opts, b_py, cloud)
         assert b_nat.getvalue() == b_py.getvalue(), trial
+
+
+def test_streaming_pipeline_fuzz(rng, tmp_path, monkeypatch):
+    """Compositional fuzz of the full file->streamed-upload->packed-blob->
+    streamed-rows pipeline: random cohorts through load_count_data_eval +
+    compute_score_all_tpu vs the exact engine, with randomized upload
+    block and fetch chunk sizes.  Integer columns must be byte-identical,
+    scores within the device tolerance."""
+    import functools
+
+    import ntsm_tpu.eval.tpu as T
+    from ntsm_tpu.eval.model import load_count_data
+    from ntsm_tpu.io.countfile import format_counts
+
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    for trial in range(3):
+        N = int(rng.integers(3, 8))
+        L = int(rng.integers(40, 300))
+        ids = [f"rs{i}" for i in range(L)]
+        distinct = np.full((L, 2), int(rng.integers(5, 20)), dtype=np.int64)
+        paths = []
+        for s in range(N):
+            geno = rng.integers(0, 3, size=L)
+            lam = float(rng.uniform(2, 40))
+            at = rng.poisson(lam * (2 - geno)).astype(np.int64)
+            cg = rng.poisson(lam * geno).astype(np.int64)
+            if rng.random() < 0.3:  # dropout rows
+                z = rng.random(L) < 0.3
+                at[z] = 0
+                cg[z] = 0
+            mx = np.stack([at, cg], axis=1)
+            text = format_counts(
+                ids, mx, mx * 3, distinct, int(mx.sum() * 100), 19
+            )
+            p = tmp_path / f"t{trial}_s{s}_counts.txt"
+            p.write_text(text)
+            paths.append(str(p))
+
+        monkeypatch.setattr(
+            T, "_upload_wires_streaming",
+            functools.partial(
+                T._upload_wires_streaming.func
+                if isinstance(T._upload_wires_streaming, functools.partial)
+                else T._upload_wires_streaming,
+                block_rows=int(rng.integers(1, N + 2)),
+            ),
+        )
+        monkeypatch.setattr(T, "STREAM_PAIRS", int(rng.integers(2, 12)))
+        all_flag = bool(rng.integers(0, 2))
+        opts = Options(all=all_flag, engine="tpu")
+        d = T.load_count_data_eval(paths, opts)
+        assert getattr(d, "dev_planes", None) is not None
+        tpu_out = io.StringIO()
+        compute_score_all_tpu(d, opts, tpu_out)
+        ex_out = io.StringIO()
+        exact.compute_score_all(
+            load_count_data(paths, opts.replace(engine="exact")), opts, ex_out
+        )
+        got = tpu_out.getvalue().splitlines()
+        want = ex_out.getvalue().splitlines()
+        assert len(got) == len(want), (trial, len(got), len(want))
+        for a, b in zip(got[1:], want[1:]):
+            ca, cb = a.split("\t"), b.split("\t")
+            assert ca[:2] == cb[:2] and ca[3:] == cb[3:], (trial, ca, cb)
+            if ca[2] != cb[2]:
+                assert abs(float(ca[2]) - float(cb[2])) < 5e-6, (trial, ca[2], cb[2])

@@ -226,69 +226,20 @@ def native_pair_stats(data: CountData, opts: Options, ii, jj):
 
 
 def _emit_pairs(data, opts, out, ii, jj, score, tallies, dist=None) -> None:
-    """Emit result rows for a scored pair list (native formatter when
-    available, Python loop otherwise); dist is a per-pair f64 array for
-    the -p path or None for the "-1" column."""
-    from ntsm_tpu.eval.tpu import _emit_rows_native, _pair_columns
-    from ntsm_tpu import native
-
-    keep = (
-        np.ones(score.shape[0], dtype=bool)
-        if opts.all
-        else score < opts.score_thresh
+    """Emit result rows for a scored pair list; thin adapter over the
+    shared emission path (eval/tpu.py:_emit_pair_chunk — filtering, the
+    `same` column, native C formatter with Python fallback)."""
+    from ntsm_tpu.eval.tpu import (
+        PAIR_COL_KEYS,
+        _emit_pair_chunk,
+        _load_row_formatter,
     )
-    kk = np.nonzero(keep)[0]
-    if kk.size == 0:
-        return
-    lib = native.load()
-    t = tallies
-    if lib is not None and hasattr(lib, "ntsm_format_eval_rows"):
-        same = (
-            np.where(score[kk] < opts.score_thresh, ord("1"), ord("0")).astype(
-                np.uint8
-            )
-            if opts.all
-            else np.full(kk.size, ord("1"), dtype=np.uint8)
-        )
-        f3, i9 = _pair_columns(
-            score[kk], t["ibs0"][kk], t["shared_hets"][kk],
-            t["shared_homs"][kk], t["hets1"][kk], t["hets2"][kk],
-            t["homs1"][kk], t["homs2"][kk], t["n"][kk],
-        )
-        _emit_rows_native(
-            lib, data, out,
-            np.ascontiguousarray(np.asarray(ii)[kk].astype(np.int32)),
-            np.ascontiguousarray(np.asarray(jj)[kk].astype(np.int32)),
-            f3, i9, same,
-            None if dist is None else np.ascontiguousarray(dist[kk]),
-        )
-        return
-    for p in kk:
-        r = Relate(
-            ibs0=int(t["ibs0"][p]),
-            ibs2=int(t["shared_hets"][p] + t["shared_homs"][p]),
-            shared_homs=int(t["shared_homs"][p]),
-            shared_hets=int(t["shared_hets"][p]),
-            hets1=int(t["hets1"][p]),
-            homs1=int(t["homs1"][p]),
-            hets2=int(t["hets2"][p]),
-            homs2=int(t["homs2"][p]),
-        )
-        r.hom_concord = cpp_div(
-            float(r.shared_homs) - 2.0 * float(r.ibs0),
-            float(min(r.homs1, r.homs2)),
-        )
-        r.relatedness = cpp_div(
-            float(r.shared_hets) - 2.0 * float(r.ibs0),
-            float(min(r.hets1, r.hets2)),
-        )
-        res = PairResult(
-            i=int(ii[p]), j=int(jj[p]), score=float(score[p]),
-            n=int(t["n"][p]), relate=r,
-        )
-        d = "-1" if dist is None else cpp_to_string(float(dist[p]))
-        out.write(results_row(data, res, d, opts))
-        out.write("\n")
+
+    cols = [tallies[k] for k in PAIR_COL_KEYS]
+    _emit_pair_chunk(
+        data, opts, out, np.asarray(ii), np.asarray(jj), score, cols,
+        _load_row_formatter(), None, dist=dist,
+    )
 
 
 def compute_score_all(data: CountData, opts: Options, out) -> None:

@@ -943,13 +943,7 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     A, B = _device_planes(data)
     cov = data.cov.astype(np.float64)
 
-    from ntsm_tpu import native as _native
-
-    _lib = _native.load()
-    emit_native = (
-        _lib if _lib is not None and hasattr(_lib, "ntsm_format_eval_rows")
-        else None
-    )
+    emit_native = _load_row_formatter()
     samp_cache = _sample_strings(data) if emit_native is not None else None
 
     for blk0 in range(0, len(pairs), PAIR_BLOCK):
@@ -1086,8 +1080,10 @@ def _load_row_formatter():
     return lib
 
 
-def _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w):
-    """Emit one block of all-vs-all rows from per-pair vectors.
+def _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w,
+                     dist=None):
+    """Emit one block of all-vs-all rows from per-pair vectors — THE
+    shared emission path (the exact engine's _emit_pairs delegates here).
 
     Applies the -a / score-threshold filtering and the quirky `same`
     column semantics (CompareCounts.hpp:853-861), then formats through the
@@ -1095,7 +1091,10 @@ def _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w):
     minutes for an N=3202 cohort) or the per-row Python fallback.  Byte-
     identical both ways: float columns are glibc "%f"
     (utils/formats.py:cpp_to_string) and relate/homConcord are the same
-    IEEE f64 divisions."""
+    IEEE f64 divisions.  dist is the -p path's per-pair f64 column or
+    None for "-1"."""
+    from ntsm_tpu.utils.formats import cpp_to_string
+
     if opts.all:
         same = np.where(
             sc < opts.score_thresh, ord("1"), ord("0")
@@ -1104,6 +1103,8 @@ def _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w):
         keep = sc < opts.score_thresh
         iu, ju, sc = iu[keep], ju[keep], sc[keep]
         cols = [c[keep] for c in cols]
+        if dist is not None:
+            dist = dist[keep]
         # without -a only passing pairs print, hard-coded "1"
         same = np.full(iu.shape[0], ord("1"), dtype=np.uint8)
     P = int(iu.shape[0])
@@ -1114,7 +1115,8 @@ def _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w):
         f3, i9 = _pair_columns(sc, *cols)
         ii = np.ascontiguousarray(iu.astype(np.int32))
         jj = np.ascontiguousarray(ju.astype(np.int32))
-        _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, None, samp_w)
+        dd = None if dist is None else np.ascontiguousarray(dist)
+        _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dd, samp_w)
         return
 
     ibs0, shet, shom, h1, h2, o1, o2, n = cols
@@ -1141,7 +1143,8 @@ def _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w):
             i=int(iu[p]), j=int(ju[p]), score=float(sc[p]),
             n=int(n[p]), relate=r,
         )
-        out.write(results_row(data, res, "-1", opts))
+        d = "-1" if dist is None else cpp_to_string(float(dist[p]))
+        out.write(results_row(data, res, d, opts))
         out.write("\n")
 
 
@@ -1150,16 +1153,7 @@ def _triangle_vectors(stats, N):
     vectors in np.triu_indices order, from either a packed or a
     full-matrix stats dict."""
     if stats.get("packed"):
-        cols = [
-            stats["ibs0"],
-            stats["shared_hets"],
-            stats["shared_homs"],
-            stats["hets1"],
-            stats["hets2"],
-            stats["homs1"],
-            stats["homs2"],
-            stats["n"],
-        ]
+        cols = [stats[k] for k in PAIR_COL_KEYS]
         return stats["iu"], stats["ju"], stats["score"], cols
     iu, ju = np.triu_indices(N, 1)
     cols = [
@@ -1262,6 +1256,12 @@ def _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dist, samp_w=None):
 STREAM_PAIRS = 1 << 20  # packed-blob pairs per fetch chunk (~25 MB narrow)
 NARROW_WIRE_MAX_SITES = (1 << 17) - 1  # u16+highbit wire validity bound
 
+# the _emit_pair_chunk cols order (also _triangle_vectors' return order)
+PAIR_COL_KEYS = (
+    "ibs0", "shared_hets", "shared_homs",
+    "hets1", "hets2", "homs1", "homs2", "n",
+)
+
 
 def compute_score_all_tpu(data: CountData, opts: Options, out) -> None:
     """All-vs-all output identical in layout to the exact engine."""
@@ -1300,10 +1300,6 @@ def _stream_packed_rows(data: CountData, opts: Options, out) -> None:
     iu, ju = np.triu_indices(N, 1)
     lib = _load_row_formatter()
     samp_w = _sample_strings(data) if lib is not None else None
-    keys = (
-        "ibs0", "shared_hets", "shared_homs",
-        "hets1", "hets2", "homs1", "homs2", "n",
-    )
     with ThreadPoolExecutor(1) as ex:
         fut = ex.submit(_fetch_blob_slice, parts, 0, min(STREAM_PAIRS, P))
         for p0 in range(0, P, STREAM_PAIRS):
@@ -1317,5 +1313,5 @@ def _stream_packed_rows(data: CountData, opts: Options, out) -> None:
             chunk = _finalize_packed(data, opts, cur, iu[sl], ju[sl])
             _emit_pair_chunk(
                 data, opts, out, iu[sl], ju[sl], chunk["score"],
-                [chunk[k] for k in keys], lib, samp_w,
+                [chunk[k] for k in PAIR_COL_KEYS], lib, samp_w,
             )

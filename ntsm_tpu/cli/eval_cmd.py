@@ -193,7 +193,7 @@ def run(argv) -> int:
     out = sys.stdout
     emit_after = None
     if distributed:
-        import io
+        import tempfile
 
         from ntsm_tpu.parallel.distributed import init_distributed, stdout_shield
 
@@ -204,13 +204,16 @@ def run(argv) -> int:
         # (the global-mesh collectives inside compute_pair_stats_tpu need
         # all processes in lockstep); gloo/collective banners go to stdout,
         # so the whole compute runs under the stdout shield with the table
-        # buffered — process 0 emits it afterwards.  Non-zero processes
+        # buffered — process 0 emits it afterwards.  The buffer spools to
+        # disk past 16 MB so an all-vs-all table (~1 GB at N=3202) never
+        # sits in memory alongside the count planes.  Non-zero processes
         # only need to run the collectives: they write into a discarding
-        # sink instead of holding the whole formatted table (~1 GB at
-        # N=3202) alongside the count planes.
+        # sink.
         shield = stdout_shield()
         if jax.process_index() == 0:
-            out = emit_after = io.StringIO()
+            out = emit_after = tempfile.SpooledTemporaryFile(
+                max_size=16 << 20, mode="w+", encoding="utf-8"
+            )
         else:
 
             class _Discard:
@@ -233,7 +236,11 @@ def run(argv) -> int:
         if jax.process_index() != 0:
             return 0
     if emit_after is not None:
-        sys.stdout.write(emit_after.getvalue())
+        import shutil
+
+        emit_after.seek(0)
+        shutil.copyfileobj(emit_after, sys.stdout, 1 << 20)
+        emit_after.close()
     from ntsm_tpu.cli.count_cmd import _rss_kb
 
     print(

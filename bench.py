@@ -58,11 +58,11 @@ def main() -> None:
         )
         os._exit(2)
 
-    _watchdog = threading.Timer(
-        float(os.environ.get("NTSM_BENCH_TIMEOUT_S", "1800")), _give_up
-    )
-    _watchdog.daemon = True
-    _watchdog.start()
+    _timeout_s = float(os.environ.get("NTSM_BENCH_TIMEOUT_S", "1800"))
+    if _timeout_s > 0:  # 0 disables the watchdog (matches the old alarm(0))
+        _watchdog = threading.Timer(_timeout_s, _give_up)
+        _watchdog.daemon = True
+        _watchdog.start()
 
     import jax
     import jax.numpy as jnp

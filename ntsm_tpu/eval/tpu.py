@@ -187,14 +187,21 @@ def _upload_wires_streaming(paths, block_rows: int = 256):
         return None
 
     def finish():
-        blocks = [(fa.result(), fb.result()) for fa, fb in futs]
-        ex.shutdown()
+        try:
+            blocks = [(fa.result(), fb.result()) for fa, fb in futs]
+        finally:
+            # a failed block upload (tunnel drop, device OOM) must not
+            # leak the non-daemon worker thread + its pinned blocks
+            ex.shutdown(wait=True)
         wide = any(d.dtype == jnp.uint16 for pair in blocks for d in pair)
         dt = jnp.uint16 if wide else jnp.uint8
         a_d = jnp.concatenate([a.astype(dt) for a, _ in blocks], axis=0)
         b_d = jnp.concatenate([b.astype(dt) for _, b in blocks], axis=0)
         return a_d, b_d
 
+    # abandon path (caller's prepare() raised): drop queued uploads,
+    # join the in-flight one, free the worker thread
+    finish.cancel = lambda: ex.shutdown(wait=True, cancel_futures=True)
     return wires, finish
 
 
@@ -223,18 +230,22 @@ def load_count_data_eval(paths, opts: Options) -> CountData:
         return load_count_data(paths, opts, try_wires=False)
     wires, finish = res
     locus_ids, distinct, wa, wb, site_acc, samp_mc, samp_sum, tks, kss = wires
-    data = CountData(
-        filenames=list(paths),
-        locus_ids=locus_ids,
-        distinct=distinct,
-        raw_total_kmers=tks,
-        ks=kss,
-        total_counts=samp_mc,
-        wire_at=wa,
-        wire_cg=wb,
-        site_acc=site_acc,
-        samp_sum=samp_sum,
-    ).prepare(opts)  # runs while the tail upload blocks are in flight
+    try:
+        data = CountData(
+            filenames=list(paths),
+            locus_ids=locus_ids,
+            distinct=distinct,
+            raw_total_kmers=tks,
+            ks=kss,
+            total_counts=samp_mc,
+            wire_at=wa,
+            wire_cg=wb,
+            site_acc=site_acc,
+            samp_sum=samp_sum,
+        ).prepare(opts)  # runs while the tail upload blocks are in flight
+    except BaseException:
+        finish.cancel()  # join the in-flight transfers, free the worker
+        raise
     data.dev_planes = finish()
     return data
 
@@ -525,13 +536,17 @@ def compute_pair_stats_tpu(
     block against the all_gather'ed planes).
 
     With `packed` (single-device only), the i<j triangle of every statistic
-    is gathered ON DEVICE and fetched as ONE [10, P] f32 blob instead of
-    fourteen [N, N] planes — the score phase is device->host-fetch-bound
-    on the tunneled runtime, and this cuts fetched bytes ~2.8x (the
-    symmetric half of every plane, the 4 s1 planes folded to a compensated
-    log-likelihood pair, hi/lo joint planes combined) and turns ~110
-    transfers into one.  Returns per-pair vectors (see _finalize_packed).
-    """
+    is gathered ON DEVICE into an (ll f32[2,P], ints u16[8,P], hi u8[P])
+    blob and fetched in three arrays per chunk instead of fourteen [N, N]
+    planes — the score phase is device->host-fetch-bound on the tunneled
+    runtime, and this cuts fetched bytes ~7x (the symmetric half of every
+    plane, the 4 s1 planes folded to a compensated log-likelihood pair,
+    hi/lo joint planes combined, integer stats narrowed to u16 low halves
+    + a high-bit byte) and turns ~110 transfers into 3 per STREAM_PAIRS
+    chunk.  (A single bitcast-concatenated byte buffer would make it 1
+    fetch/chunk for ~0.5 s at N=3202; skipped — recorded negative:
+    endianness-fragile for the gain.)  Returns per-pair vectors (see
+    _finalize_packed)."""
     N = data.n_samples
     if mesh is not None:
         a_np, b_np = _wire_planes(data)
@@ -621,7 +636,7 @@ def compute_pair_stats_tpu(
 
     if packed and N >= 2:
         parts = _blob_from_planes(tallies_d, s1_d, jint_d,
-                                  a_d, b_d, v_t, opts, N, data.n_sites)
+                                  a_d, b_d, v_t, opts, N)
         P = (N * (N - 1)) // 2
         buf = _fetch_blob_slice(parts, 0, P)
         iu, ju = np.triu_indices(N, 1)
@@ -732,7 +747,7 @@ def _unpack_blob(ll, ints, hi):
     return ll, iv
 
 
-def _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, L):
+def _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N):
     """Device triangle blob parts for the packed path: runs the joint
     fractional row tiles device-resident (no per-tile fetch) and gathers
     the i<j triangle of every statistic.  Returns the (lazy)
@@ -745,11 +760,13 @@ def _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, L):
         tiles.append(joint_fn(ai, bi, vi, a_d, b_d, v_t))
     jfh = jnp.concatenate([t[0] for t in tiles], axis=0)
     jfl = jnp.concatenate([t[1] for t in tiles], axis=0)
-    # every statistic is bounded by n <= n_sites, so the u16+highbit wire
-    # is exact iff the site count fits 17 bits (1.4x the human set)
+    # every statistic is bounded by n <= the PADDED plane width (a
+    # negative -c makes the zero-count pad sites "valid", so the bound is
+    # Lp, not data.n_sites), so the u16+highbit wire is exact iff Lp fits
+    # 17 bits (1.4x the human set)
     return _pack_triangle(
         tallies_d, s1_d, jint_d, jfh[:N], jfl[:N],
-        narrow=L <= NARROW_WIRE_MAX_SITES,
+        narrow=int(a_d.shape[-1]) <= NARROW_WIRE_MAX_SITES,
     )
 
 
@@ -1294,7 +1311,7 @@ def _stream_packed_rows(data: CountData, opts: Options, out) -> None:
         chunk=CHUNK,
     )
     parts = _blob_from_planes(
-        tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, data.n_sites
+        tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N
     )
     P = (N * (N - 1)) // 2
     iu, ju = np.triu_indices(N, 1)

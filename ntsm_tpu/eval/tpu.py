@@ -304,13 +304,22 @@ def _make_joint_fn(min_cov: int):
     return joint_rows
 
 
-def _genotype_planes(x, y, mc):
+def _genotype_planes(x, y, mc, n_valid=None):
     """Indicator planes + single-sample likelihood planes from two count
     planes — the parity-critical construction (calcHomHetMiss +
     computeSumLogPSingle, CompareCounts.hpp:742-768,968-991), shared by
-    the single-device and mesh-sharded engines."""
+    the single-device and mesh-sharded engines.
+
+    n_valid (static) masks the chunk-alignment pad columns beyond the
+    real site count: their a = b = 0 rides the strict `> minCov` test
+    (CompareCounts.hpp:746), which only excludes them while mc >= 0 — a
+    negative -c would otherwise count every pad site as a valid n."""
     px = x > mc
     py = y > mc
+    if n_valid is not None and int(n_valid) < x.shape[-1]:
+        live = jnp.arange(x.shape[-1]) < n_valid
+        px &= live
+        py &= live
     het = (px & py).astype(jnp.float32)
     hom_at = (px & ~py).astype(jnp.float32)
     hom_cg = (~px & py).astype(jnp.float32)
@@ -336,8 +345,8 @@ def _tally_matmuls(het_l, hom_at_l, hom_cg_l, vall_l, het, hom_at, hom_cg, vall)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "mc"))
-def _planes_and_tallies(a, b, *, mc: float, chunk: int):
+@functools.partial(jax.jit, static_argnames=("chunk", "mc", "n_valid"))
+def _planes_and_tallies(a, b, *, mc: float, chunk: int, n_valid=None):
     """Everything derivable from the two count planes, on device:
     genotype indicator tallies (exact f32 matmuls of 0/1 planes),
     the single-sample likelihood planes and their pair sums (s1), and the
@@ -353,9 +362,10 @@ def _planes_and_tallies(a, b, *, mc: float, chunk: int):
     C = Lp // chunk
     # indicator matmuls: inputs are exactly 0/1, so even the TPU's default
     # bf16 matmul passes are error-free; sums stay exact integers in f32
-    # while below 2^24 (n_sites << 2^24).  Padded sites have a = b = 0 so
-    # both masks are false and contribute nothing.
-    het, hom_at, hom_cg, vall, s_int, s_frac = _genotype_planes(a, b, mc)
+    # while below 2^24 (n_sites << 2^24).
+    het, hom_at, hom_cg, vall, s_int, s_frac = _genotype_planes(
+        a, b, mc, n_valid
+    )
     tallies = _tally_matmuls(
         het, hom_at, hom_cg, vall, het, hom_at, hom_cg, vall
     )
@@ -375,7 +385,7 @@ def _planes_and_tallies(a, b, *, mc: float, chunk: int):
     return tallies, s1, jint, a_t, b_t, v_t
 
 
-def _make_sharded_stats(mesh, *, min_cov: float, chunk: int):
+def _make_sharded_stats(mesh, *, min_cov: float, chunk: int, n_valid=None):
     """Sample-row-sharded pairwise statistics over a 1-D data mesh.
 
     Each device holds an [N/D, Lp] row block of the count planes,
@@ -421,9 +431,9 @@ def _make_sharded_stats(mesh, *, min_cov: float, chunk: int):
         b_l = b_l.astype(jnp.float32)
 
         het_l, hat_l, hcg_l, val_l, sint_l, sfrac_l = _genotype_planes(
-            a_l, b_l, mc
+            a_l, b_l, mc, n_valid
         )
-        het, hat, hcg, vall, _, _ = _genotype_planes(a, b, mc)
+        het, hat, hcg, vall, _, _ = _genotype_planes(a, b, mc, n_valid)
         tallies = _tally_matmuls(het_l, hat_l, hcg_l, val_l, het, hat, hcg, vall)
 
         nl, Lp = a_l.shape
@@ -556,7 +566,8 @@ def compute_pair_stats_tpu(
             a_np = np.pad(a_np, ((0, pad_n), (0, 0)))
             b_np = np.pad(b_np, ((0, pad_n), (0, 0)))
         stats_fn = _make_sharded_stats(
-            mesh, min_cov=float(opts.min_cov), chunk=CHUNK
+            mesh, min_cov=float(opts.min_cov), chunk=CHUNK,
+            n_valid=data.n_sites,
         )
         if jax.process_count() > 1 and mesh.devices.size > jax.local_device_count():
             # multi-host: the same row-sharded shard_map runs over the
@@ -613,6 +624,7 @@ def compute_pair_stats_tpu(
         *_device_planes(data),
         mc=float(opts.min_cov),
         chunk=CHUNK,
+        n_valid=data.n_sites,
     )
     import os as _os
 
@@ -846,8 +858,8 @@ def _finalize_stats(data, opts, tallies, s1, J) -> dict:
 PAIR_BLOCK = 4096  # candidate pairs per device invocation (-p path)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "mc"))
-def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int):
+@functools.partial(jax.jit, static_argnames=("chunk", "mc", "n_valid"))
+def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int, n_valid=None):
     """Per-pair statistics for one block of candidate pairs (-p path).
 
     A/B: [N, Lp] f32 count planes; ii/jj: [P] int32 pair indices.  The
@@ -866,8 +878,12 @@ def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int):
     # gather on the (possibly u16) wire dtype, widen the gathered rows
     a_i, b_i = A[ii].astype(jnp.float32), B[ii].astype(jnp.float32)
     a_j, b_j = A[jj].astype(jnp.float32), B[jj].astype(jnp.float32)
-    het1, hat1, hcg1, val1, sint1, sfrac1 = _genotype_planes(a_i, b_i, mcf)
-    het2, hat2, hcg2, val2, sint2, sfrac2 = _genotype_planes(a_j, b_j, mcf)
+    het1, hat1, hcg1, val1, sint1, sfrac1 = _genotype_planes(
+        a_i, b_i, mcf, n_valid
+    )
+    het2, hat2, hcg2, val2, sint2, sfrac2 = _genotype_planes(
+        a_j, b_j, mcf, n_valid
+    )
     m = val1 * val2
 
     def isum(x):  # exact integer-valued f32 reduction
@@ -974,7 +990,7 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
         blob = np.asarray(
             _pair_block_stats(
                 A, B, jnp.asarray(ii), jnp.asarray(jj),
-                mc=float(opts.min_cov), chunk=CHUNK,
+                mc=float(opts.min_cov), chunk=CHUNK, n_valid=data.n_sites,
             )
         ).astype(np.float64)
         tallies = {
@@ -1309,6 +1325,7 @@ def _stream_packed_rows(data: CountData, opts: Options, out) -> None:
         *_device_planes(data),
         mc=float(opts.min_cov),
         chunk=CHUNK,
+        n_valid=data.n_sites,
     )
     parts = _blob_from_planes(
         tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N

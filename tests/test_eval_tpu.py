@@ -439,3 +439,61 @@ def test_narrow_wire_high_bit(tmp_path, monkeypatch):
         assert g[3:] == w[3:]  # every column except score byte-identical
         hit_high = hit_high or int(g[15]) >= 65536  # n column
     assert hit_high, "cohort failed to exercise the 2^16 bit"
+
+
+def test_negative_min_cov_pads_stay_invalid(rng):
+    """-c -1 makes zero-count sites pass the strict `> minCov` test
+    (CompareCounts.hpp:746) — including the device planes' chunk-pad
+    columns, which don't exist in the reference.  The n_valid mask in
+    _genotype_planes must keep pads out of every statistic so the device
+    engines agree with the (unpadded) exact oracle."""
+    import ntsm_tpu.eval.model as M
+    import ntsm_tpu.eval.tpu as T
+
+    N, L = 4, 20  # L far below CHUNK: 236 pad columns in play
+    mx = rng.integers(0, 12, size=(N, L, 2)).astype(np.int64)
+    for mc in (-1, 0):
+        opts = Options(min_cov=mc, all=True, genome_size=1_000_000)
+        data = M.CountData(
+            filenames=[f"s{i}" for i in range(N)],
+            locus_ids=[f"rs{i}" for i in range(L)],
+            distinct=np.full((L, 2), 10, dtype=np.int64),
+            max_counts=mx,
+            sum_counts=mx * 3,
+            raw_total_kmers=np.full(N, 10_000_000, dtype=np.int64),
+            ks=np.full(N, 19, dtype=np.int64),
+            total_counts=mx.sum(axis=(1, 2)),
+        )
+        data.prepare(opts)
+        for packed in (False, True):
+            st = compute_pair_stats_tpu(data, opts, packed=packed)
+            for i, j in [(0, 1), (1, 3)]:
+                score, n, rel = pair_score(data, i, j, opts)
+                if packed:
+                    import numpy as _np
+
+                    k = int(_np.flatnonzero(
+                        (st["iu"] == i) & (st["ju"] == j))[0])
+                    assert int(st["n"][k]) == n
+                    assert int(st["ibs0"][k]) == rel.ibs0
+                    assert float(st["score"][k]) == pytest.approx(
+                        score, rel=5e-6, abs=5e-6)
+                else:
+                    assert int(st["n"][i, j]) == n
+                    assert int(st["ibs0"][i, j]) == rel.ibs0
+                    assert float(st["score"][i, j]) == pytest.approx(
+                        score, rel=5e-6, abs=5e-6)
+
+        # the -p pair-block kernel shares _genotype_planes; check it too
+        import jax.numpy as jnp
+
+        A, B = T._device_planes(data)
+        blob = np.asarray(
+            T._pair_block_stats(
+                A, B, jnp.asarray(np.array([0], np.int32)),
+                jnp.asarray(np.array([1], np.int32)),
+                mc=float(mc), chunk=T.CHUNK, n_valid=data.n_sites,
+            )
+        )
+        _, n_exact, _ = pair_score(data, 0, 1, opts)
+        assert int(blob[0, 0]) == n_exact

@@ -50,24 +50,27 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
     first char is '>', '+' or '@' (empty lines skipped); a '+' line
     introduces quality, which accumulates until its total length reaches
     the sequence length.  Line-wrapped FASTQ and mixed FASTA/FASTQ files
-    therefore parse exactly like the reference.
+    therefore parse exactly like the reference — including kseq's header
+    hunt (kseq.h:182-186): at file start, and again after every FASTQ
+    record (last_char resets, kseq.h:216), bytes are skipped up to the
+    next '>' or '@' ANYWHERE in the stream, so leading junk is ignored
+    and a mid-line header char starts a record.
     """
     with _open(path) as fh:
         buffered = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
-        first = buffered.peek(1)[:1]
-        if first == b"":
-            return
-        if first not in (b">", b"@"):
-            # kseq silently scans to the first header; our native reader
-            # errors instead — match the native reader so both host paths
-            # reject garbage the same way
-            raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")
         line = buffered.readline()
         while line:
             hdr = line.rstrip(b"\r\n")
             if hdr[:1] not in (b">", b"@"):
-                line = buffered.readline()
-                continue
+                # kseq's byte scan to the next header char (any position)
+                i = min(
+                    (k for k in (hdr.find(b">"), hdr.find(b"@")) if k >= 0),
+                    default=-1,
+                )
+                if i < 0:
+                    line = buffered.readline()
+                    continue
+                hdr = hdr[i:]
             name = _header_name(hdr)
             seq_parts: list[bytes] = []
             is_fastq = False

@@ -202,13 +202,9 @@ struct Reader {
             }
             ++path_idx;
             file_open = true;
-            int c = lr.peek();
-            if (c >= 0 && c != '@' && c != '>') {
-                std::fprintf(stderr, "ntsm: %s: not FASTA/FASTQ\n",
-                             paths[path_idx - 1].c_str());
-                error = true;
-                return false;
-            }
+            // NOTE: a non-header first byte is NOT an error — kseq
+            // (vendor/kseq.h:182-186) scans to the first '>'/'@' anywhere
+            // in the stream; next_record() implements that hunt.
             return true;
         }
         return false;
@@ -218,7 +214,9 @@ struct Reader {
     // kseq-faithful grammar (vendor/kseq.h:178-219): a record starts at a
     // '>' or '@' header line; sequence lines accumulate until a line whose
     // first char is '>', '+' or '@'; a '+' introduces quality, consumed
-    // until its total length reaches the sequence length.  Line-wrapped
+    // until its total length reaches the sequence length.  Leading junk
+    // (and junk after a FASTQ record) is skipped up to the next '>'/'@'
+    // anywhere in the stream, per kseq's header hunt.  Line-wrapped
     // FASTQ and mixed FASTA/FASTQ therefore parse exactly like kseq.
     bool next_record() {
         const uint8_t* line = nullptr;
@@ -241,11 +239,17 @@ struct Reader {
                 continue;
             }
             if (c != '>' && c != '@') {
-                // kseq scans forward to the next header char
+                // kseq's header hunt (kseq.h:182-186): skip BYTES to the
+                // next '>'/'@' anywhere — a mid-line header char starts a
+                // record (the name is discarded here, so consuming the
+                // whole junk+header line is equivalent)
                 lr.getline(&line, &n);
-                continue;
+                if (memchr(line, '>', n) == nullptr &&
+                    memchr(line, '@', n) == nullptr)
+                    continue;
+            } else {
+                lr.getline(&line, &n);  // consume header
             }
-            lr.getline(&line, &n);  // consume header
             seq.clear();
             for (;;) {
                 c = lr.peek();

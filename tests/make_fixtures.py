@@ -89,6 +89,23 @@ def main(ref_dir: str):
         stdout=FIXTURES / "sampleA_m2_counts.txt",
     )
 
+    # kseq header-hunt fixture (vendor/kseq.h:182-186,216): junk bytes
+    # before the first record and between FASTQ records are silently
+    # skipped by the reference's parser
+    reads_a = (FIXTURES / "sampleA.fq").read_text().splitlines(keepends=True)
+    half = (len(reads_a) // 8) * 4  # split on a record boundary
+    (FIXTURES / "sampleA_junk.fq").write_text(
+        "; leading garbage the parser must hunt past\n"
+        "second junk line\n"
+        + "".join(reads_a[:half])
+        + "-- inter-record divider --\n"
+        + "".join(reads_a[half:])
+    )
+    sh(
+        [ntsm_count, "-t", "1", "-s", "sites.fa", "sampleA_junk.fq"],
+        stdout=FIXTURES / "sampleA_junk_counts.txt",
+    )
+
     # synthetic PCA rotation + center files (contents arbitrary; eval just
     # loads them — parity only needs both tools to read identical files)
     rot = FIXTURES / "rotation.tsv"

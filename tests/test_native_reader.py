@@ -307,3 +307,54 @@ def test_dense_kmers_multiset_exact(rng, tmp_path):
             s = bytes(bytearray(b"ACGTN"[c] for c in row))
             got.extend(canonical_hashes(s, k).tolist())
     assert sorted(got) == sorted(expect)
+
+
+def test_leading_junk_header_hunt(rng, tmp_path):
+    """kseq's header hunt (vendor/kseq.h:182-186): bytes before the first
+    '>'/'@' are skipped — including a header char mid-line — instead of
+    erroring; both readers must agree."""
+    fq = tmp_path / "junk.fq"
+    fq.write_text(
+        "; random comment line\n"
+        "more garbage\n"
+        "@r0\nACGTACGTAC\n+\nIIIIIIIIII\n"
+        "@r1\nTTTTGGGGCC\n+\nIIIIIIIIII\n"
+    )
+    _assert_same([str(fq)], seglen=32)
+
+    fa = tmp_path / "midline.fa"
+    fa.write_text("junk bytes >ctg0 desc\nACGTACGTACGTACGTACGT\n")
+    _assert_same([str(fa)], seglen=32)
+
+    from ntsm_tpu.io.fastx import read_fastx
+
+    recs = list(read_fastx(str(fa)))
+    assert [r.name for r in recs] == ["ctg0"]
+    assert recs[0].seq == b"ACGTACGTACGTACGTACGT"
+
+
+def test_junk_between_fastq_records(rng, tmp_path):
+    """After a FASTQ record kseq resets last_char (kseq.h:216) and hunts
+    again, so inter-record garbage is skipped silently."""
+    fq = tmp_path / "between.fq"
+    fq.write_text(
+        "@r0\nACGTACGTAC\n+\nIIIIIIIIII\n"
+        "-- divider junk --\n"
+        "@r1\nTTTTGGGGCC\n+\nIIIIIIIIII\n"
+    )
+    _assert_same([str(fq)], seglen=32)
+    from ntsm_tpu.io.fastx import read_fastx
+
+    recs = list(read_fastx(str(fq)))
+    assert [r.name for r in recs] == ["r0", "r1"]
+
+
+def test_pure_junk_file_yields_nothing(rng, tmp_path):
+    """A file with no header char anywhere parses as zero records (kseq
+    returns EOF from the hunt), not an error."""
+    p = tmp_path / "junk.txt"
+    p.write_text("no headers here\njust text\n")
+    from ntsm_tpu.io.fastx import read_fastx
+
+    assert list(read_fastx(str(p))) == []
+    _assert_same([str(p)], seglen=32)

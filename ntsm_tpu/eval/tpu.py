@@ -538,6 +538,91 @@ def _joint_int_matmuls(a_l, b_l, v_l, a_f, b_f, v_f, mc: float, chunk: int):
     return hi, lo
 
 
+def _mesh_stat_planes(data, opts, mesh):
+    """Row-sharded pairwise stat planes over the mesh: (tallies dict,
+    s1 4-tuple, joint 4-tuple) of [Npad, N] device arrays plus the padded
+    wire width.  On multi-host meshes each process feeds only its local
+    row slice (assembled into one global array) and the in-kernel
+    all_gather spans hosts via ICI/DCN; outputs stay row-sharded — run
+    them through _replicate_tree before fetching."""
+    N = data.n_samples
+    a_np, b_np = _wire_planes(data)
+    D = mesh.devices.size
+    pad_n = (-N) % D
+    if pad_n:  # zero-count pad rows produce n=0 pairs, sliced off later
+        a_np = np.pad(a_np, ((0, pad_n), (0, 0)))
+        b_np = np.pad(b_np, ((0, pad_n), (0, 0)))
+    stats_fn = _make_sharded_stats(
+        mesh, min_cov=float(opts.min_cov), chunk=CHUNK,
+        n_valid=data.n_sites,
+    )
+    if jax.process_count() > 1 and mesh.devices.size > jax.local_device_count():
+        from jax.sharding import NamedSharding
+
+        from ntsm_tpu.parallel.mesh import P
+
+        row_sh = NamedSharding(mesh, P("data", None))
+        Npad = a_np.shape[0]
+        rows_per = Npad // D
+        # local slice: the rows owned by this process's devices (the
+        # mesh is jax.devices() order, process-major)
+        local_ids = {d.id for d in jax.local_devices()}
+        mine = [i for i, d in enumerate(mesh.devices.flat) if d.id in local_ids]
+        r_lo, r_hi = mine[0] * rows_per, (mine[-1] + 1) * rows_per
+        a_g = jax.make_array_from_process_local_data(
+            row_sh, a_np[r_lo:r_hi], a_np.shape
+        )
+        b_g = jax.make_array_from_process_local_data(
+            row_sh, b_np[r_lo:r_hi], b_np.shape
+        )
+        tallies_d, s1_d, joint_d = stats_fn(a_g, b_g)
+    else:
+        tallies_d, s1_d, joint_d = stats_fn(
+            jnp.asarray(a_np), jnp.asarray(b_np)
+        )
+    return tallies_d, s1_d, joint_d, int(a_np.shape[1])
+
+
+def _replicate_tree(mesh, tree):
+    """Reshard a tree of mesh outputs to replicated so every process can
+    fetch them; no-op on single-process meshes (np.asarray can already
+    assemble a row-sharded array there)."""
+    if jax.process_count() > 1 and mesh.devices.size > jax.local_device_count():
+        from jax.sharding import NamedSharding
+
+        from ntsm_tpu.parallel.mesh import P
+
+        rep = NamedSharding(mesh, P())
+        return jax.jit(
+            lambda t: t,
+            out_shardings=jax.tree_util.tree_map(lambda _: rep, tree),
+        )(tree)
+    return tree
+
+
+def _pack_mesh_blob(tallies_d, s1_d, joint_d, N: int, wire_lp: int):
+    """The packed-triangle blob from mesh stat planes: the same (ll, ints,
+    hi) wire as _blob_from_planes, built under one jit over the sharded
+    [Npad, N] planes (XLA inserts the gathers/collectives) — the fetch
+    drops from fourteen [N, N] f32 planes (~574 MB at N=3202) to ~25
+    B/pair (~128 MB), the same discipline as the single-device path."""
+    narrow = wire_lp <= NARROW_WIRE_MAX_SITES
+
+    @jax.jit
+    def pack(t, s, j):
+        sl = lambda x: x[:N, :N]  # noqa: E731
+        return _pack_triangle(
+            {k: sl(v) for k, v in t.items()},
+            tuple(sl(x) for x in s),
+            (sl(j[0]), sl(j[1])),
+            sl(j[2]),
+            sl(j[3]),
+            narrow=narrow,
+        )
+
+    return pack(tallies_d, s1_d, joint_d)
+
+
 def compute_pair_stats_tpu(
     data: CountData, opts: Options, mesh=None, packed: bool = False
 ) -> dict:
@@ -545,9 +630,8 @@ def compute_pair_stats_tpu(
     rows are sharded over the 1-D data mesh (each device scores its row
     block against the all_gather'ed planes).
 
-    With `packed` (single-device only), the i<j triangle of every statistic
-    is gathered ON DEVICE into an (ll f32[2,P], ints u16[8,P], hi u8[P])
-    blob and fetched in three arrays per chunk instead of fourteen [N, N]
+    With `packed`, the i<j triangle of every statistic is gathered ON
+    DEVICE into an (ll f32[2,P], ints u16[8,P], hi u8[P]) blob and fetched in three arrays per chunk instead of fourteen [N, N]
     planes — the score phase is device->host-fetch-bound on the tunneled
     runtime, and this cuts fetched bytes ~7x (the symmetric half of every
     plane, the 4 s1 planes folded to a compensated log-likelihood pair,
@@ -559,53 +643,18 @@ def compute_pair_stats_tpu(
     _finalize_packed)."""
     N = data.n_samples
     if mesh is not None:
-        a_np, b_np = _wire_planes(data)
-        D = mesh.devices.size
-        pad_n = (-N) % D
-        if pad_n:  # zero-count pad rows produce n=0 pairs, sliced off below
-            a_np = np.pad(a_np, ((0, pad_n), (0, 0)))
-            b_np = np.pad(b_np, ((0, pad_n), (0, 0)))
-        stats_fn = _make_sharded_stats(
-            mesh, min_cov=float(opts.min_cov), chunk=CHUNK,
-            n_valid=data.n_sites,
+        tallies_d, s1_d, joint_d, wire_lp = _mesh_stat_planes(data, opts, mesh)
+        if packed and N >= 2:
+            parts = _pack_mesh_blob(tallies_d, s1_d, joint_d, N, wire_lp)
+            parts = _replicate_tree(mesh, parts)
+            P_ = (N * (N - 1)) // 2
+            buf = _fetch_blob_slice(parts, 0, P_)
+            iu, ju = np.triu_indices(N, 1)
+            return dict(packed=True, iu=iu, ju=ju,
+                        **_finalize_packed(data, opts, buf, iu, ju))
+        tallies_d, s1_d, joint_d = _replicate_tree(
+            mesh, (tallies_d, s1_d, joint_d)
         )
-        if jax.process_count() > 1 and mesh.devices.size > jax.local_device_count():
-            # multi-host: the same row-sharded shard_map runs over the
-            # global mesh — each process feeds only its local row slice
-            # (assembled into one global array) and the in-kernel
-            # all_gather spans hosts via ICI/DCN; outputs are resharded to
-            # replicated so every process can fetch them
-            from jax.sharding import NamedSharding
-
-            from ntsm_tpu.parallel.mesh import P
-
-            row_sh = NamedSharding(mesh, P("data", None))
-            Npad = a_np.shape[0]
-            rows_per = Npad // D
-            # local slice: the rows owned by this process's devices (the
-            # mesh is jax.devices() order, process-major)
-            local_ids = {d.id for d in jax.local_devices()}
-            mine = [i for i, d in enumerate(mesh.devices.flat) if d.id in local_ids]
-            r_lo, r_hi = mine[0] * rows_per, (mine[-1] + 1) * rows_per
-            a_g = jax.make_array_from_process_local_data(
-                row_sh, a_np[r_lo:r_hi], a_np.shape
-            )
-            b_g = jax.make_array_from_process_local_data(
-                row_sh, b_np[r_lo:r_hi], b_np.shape
-            )
-            tallies_d, s1_d, joint_d = stats_fn(a_g, b_g)
-            rep = NamedSharding(mesh, P())
-            reshard = jax.jit(
-                lambda t: t,
-                out_shardings=jax.tree_util.tree_map(
-                    lambda _: rep, (tallies_d, s1_d, joint_d)
-                ),
-            )
-            tallies_d, s1_d, joint_d = reshard((tallies_d, s1_d, joint_d))
-        else:
-            tallies_d, s1_d, joint_d = stats_fn(
-                jnp.asarray(a_np), jnp.asarray(b_np)
-            )
         sl = np.s_[:N, :N]
         tallies = {
             k: np.asarray(v).astype(np.int64)[sl] for k, v in tallies_d.items()
@@ -1301,8 +1350,8 @@ def compute_score_all_tpu(data: CountData, opts: Options, out) -> None:
     mesh = _auto_mesh()
     out.write(HEADER)
     out.write("\n")
-    if mesh is None and data.n_samples >= 2:
-        _stream_packed_rows(data, opts, out)
+    if data.n_samples >= 2:
+        _stream_packed_rows(data, opts, out, mesh=mesh)
         return
     stats = compute_pair_stats_tpu(data, opts, mesh=mesh)
     iu, ju, sc, cols = _triangle_vectors(stats, data.n_samples)
@@ -1311,25 +1360,32 @@ def compute_score_all_tpu(data: CountData, opts: Options, out) -> None:
     _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w)
 
 
-def _stream_packed_rows(data: CountData, opts: Options, out) -> None:
-    """Single-device all-vs-all: fetch the device triangle blob in
-    STREAM_PAIRS chunks on a prefetch thread while the host finalizes and
-    formats the previous chunk — device->host transfer (the score-phase
-    bound on the tunneled runtime) overlaps the ~1 us/row native
-    formatting.  Emission order is row-major i<j, identical to the
-    unstreamed path."""
+def _stream_packed_rows(data: CountData, opts: Options, out, mesh=None) -> None:
+    """All-vs-all: fetch the device triangle blob in STREAM_PAIRS chunks
+    on a prefetch thread while the host finalizes and formats the
+    previous chunk — device->host transfer (the score-phase bound on the
+    tunneled runtime) overlaps the ~1 us/row native formatting.  Emission
+    order is row-major i<j, identical to the unstreamed path.  With
+    `mesh` the blob is packed from the row-sharded stat planes
+    (_pack_mesh_blob) — same wire, same streaming."""
     from concurrent.futures import ThreadPoolExecutor
 
     N = data.n_samples
-    tallies_d, s1_d, jint_d, a_d, b_d, v_t = _planes_and_tallies(
-        *_device_planes(data),
-        mc=float(opts.min_cov),
-        chunk=CHUNK,
-        n_valid=data.n_sites,
-    )
-    parts = _blob_from_planes(
-        tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N
-    )
+    if mesh is not None:
+        tallies_m, s1_m, joint_m, wire_lp = _mesh_stat_planes(data, opts, mesh)
+        parts = _replicate_tree(
+            mesh, _pack_mesh_blob(tallies_m, s1_m, joint_m, N, wire_lp)
+        )
+    else:
+        tallies_d, s1_d, jint_d, a_d, b_d, v_t = _planes_and_tallies(
+            *_device_planes(data),
+            mc=float(opts.min_cov),
+            chunk=CHUNK,
+            n_valid=data.n_sites,
+        )
+        parts = _blob_from_planes(
+            tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N
+        )
     P = (N * (N - 1)) // 2
     iu, ju = np.triu_indices(N, 1)
     lib = _load_row_formatter()

@@ -41,3 +41,42 @@ def test_sharded_stats_match_single_device(rng, n_samples):
     np.testing.assert_allclose(
         sharded["score"][iu], single["score"][iu], rtol=1e-9, atol=1e-9
     )
+
+
+@pytest.mark.parametrize("n_samples", [16, 13])
+def test_mesh_packed_blob_matches_single_device(rng, n_samples):
+    """The mesh path's packed triangle blob (_pack_mesh_blob) must agree
+    with the single-device packed path pair-for-pair."""
+    data = _data(rng, n_samples)
+    opts = Options(all=True)
+    single = compute_pair_stats_tpu(data, opts, packed=True)
+    mesh = data_mesh(jax.devices()[:8])
+    packed = compute_pair_stats_tpu(data, opts, mesh=mesh, packed=True)
+    assert packed["packed"] is True
+    np.testing.assert_array_equal(packed["iu"], single["iu"])
+    np.testing.assert_array_equal(packed["ju"], single["ju"])
+    for key in ("n", "ibs0", "shared_hets", "shared_homs",
+                "hets1", "hets2", "homs1", "homs2"):
+        np.testing.assert_array_equal(packed[key], single[key])
+    np.testing.assert_allclose(
+        packed["score"], single["score"], rtol=1e-9, atol=1e-9
+    )
+
+
+def test_mesh_streamed_emission_matches_single_device(rng, monkeypatch):
+    """compute_score_all_tpu over a mesh rides the same packed streaming
+    emission; its table must be byte-identical to the single-device one."""
+    import io
+
+    import ntsm_tpu.eval.tpu as T
+
+    data = _data(rng, 13)
+    opts = Options(all=True)
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    single = io.StringIO()
+    T.compute_score_all_tpu(data, opts, single)
+    mesh = data_mesh(jax.devices()[:8])
+    monkeypatch.setattr(T, "_auto_mesh", lambda: mesh)
+    sharded = io.StringIO()
+    T.compute_score_all_tpu(data, opts, sharded)
+    assert sharded.getvalue() == single.getvalue()

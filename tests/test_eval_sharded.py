@@ -80,3 +80,21 @@ def test_mesh_streamed_emission_matches_single_device(rng, monkeypatch):
     sharded = io.StringIO()
     T.compute_score_all_tpu(data, opts, sharded)
     assert sharded.getvalue() == single.getvalue()
+
+
+def test_mesh_packed_wide_tier_matches(rng, monkeypatch):
+    """Force the wide (all-f32, hi=None) blob tier through the mesh
+    packed path — real cohorts ride narrow; this pins the fallback."""
+    import ntsm_tpu.eval.tpu as T
+
+    data = _data(rng, 9)
+    opts = Options(all=True)
+    single = compute_pair_stats_tpu(data, opts, packed=True)
+    monkeypatch.setattr(T, "NARROW_WIRE_MAX_SITES", 0)
+    mesh = data_mesh(jax.devices()[:8])
+    packed = compute_pair_stats_tpu(data, opts, mesh=mesh, packed=True)
+    for key in ("n", "ibs0", "shared_hets", "hets2", "homs2"):
+        np.testing.assert_array_equal(packed[key], single[key])
+    np.testing.assert_allclose(
+        packed["score"], single["score"], rtol=1e-9, atol=1e-9
+    )

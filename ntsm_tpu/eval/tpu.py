@@ -1028,7 +1028,9 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     emit_native = _load_row_formatter()
     samp_cache = _sample_strings(data) if emit_native is not None else None
 
-    for blk0 in range(0, len(pairs), PAIR_BLOCK):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _dispatch(blk0: int):
         blk = pairs[blk0 : blk0 + PAIR_BLOCK]
         P = len(blk)
         ii = np.fromiter((p[0] for p in blk), np.int32, P)
@@ -1036,12 +1038,45 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
         if P < PAIR_BLOCK:  # pad for a single compiled shape
             ii = np.pad(ii, (0, PAIR_BLOCK - P), constant_values=ii[0])
             jj = np.pad(jj, (0, PAIR_BLOCK - P), constant_values=jj[0])
-        blob = np.asarray(
-            _pair_block_stats(
-                A, B, jnp.asarray(ii), jnp.asarray(jj),
-                mc=float(opts.min_cov), chunk=CHUNK, n_valid=data.n_sites,
+        dev = _pair_block_stats(
+            A, B, jnp.asarray(ii), jnp.asarray(jj),
+            mc=float(opts.min_cov), chunk=CHUNK, n_valid=data.n_sites,
+        )
+        return ii, jj, P, dev
+
+    # one-block pipeline: block k+1 is dispatched (device computes) and
+    # fetched (on the worker thread) while the host finalizes and formats
+    # block k — the same fetch/format overlap as the -a streamed path
+    fetch_ex = ThreadPoolExecutor(1)
+    try:
+        pend = _dispatch(0)
+        fut = fetch_ex.submit(lambda d: np.asarray(d).astype(np.float64), pend[3])
+        for blk0 in range(0, len(pairs), PAIR_BLOCK):
+            ii, jj, P, _ = pend
+            blob_fut = fut
+            if blk0 + PAIR_BLOCK < len(pairs):
+                pend = _dispatch(blk0 + PAIR_BLOCK)
+                fut = fetch_ex.submit(
+                    lambda d: np.asarray(d).astype(np.float64), pend[3]
+                )
+            blob = blob_fut.result()
+            _emit_pca_block(
+                data, opts, out, cov, emit_native, samp_cache, cloud,
+                ii, jj, P, blob,
             )
-        ).astype(np.float64)
+    finally:
+        fetch_ex.shutdown(wait=True)
+
+
+def _emit_pca_block(data, opts, out, cov, emit_native, samp_cache, cloud,
+                    ii, jj, P, blob) -> None:
+    """Host finalize + emission for one fetched [14, PAIR_BLOCK] -p blob
+    (the loop body of compute_score_pca_tpu, split out so the pipeline
+    can run it while the next block is in flight)."""
+    from ntsm_tpu.eval.pca import calc_distance_sq
+    from ntsm_tpu.utils.formats import cpp_to_string
+
+    if True:
         tallies = {
             k: blob[r, :P].astype(np.int64)
             for r, k in enumerate(
@@ -1107,8 +1142,9 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
                     np.ascontiguousarray(jv[kk].astype(np.int32)),
                     f3, i9, same, dist_v, samp_w=samp_cache,
                 )
-            continue
-        for t, (i, k) in enumerate(blk):
+            return
+        for t in range(P):
+            i, k = int(iv[t]), int(jv[t])
             n = int(tallies["n"][t])
             score = float(score_v[t])
             if not (opts.all or score < opts.score_thresh):

@@ -47,12 +47,13 @@ def main() -> None:
     t0 = time.perf_counter()
     tallies_d, s1_d, jint_d, a_d, b_d, v_t = T._planes_and_tallies(
         *T._device_planes(data), mc=float(opts.min_cov), chunk=T.CHUNK,
+        n_valid=data.n_sites,
     )
     log(f"_planes_and_tallies dispatch: {time.perf_counter()-t0:.1f} s")
 
     t0 = time.perf_counter()
     parts = T._blob_from_planes(
-        tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, data.n_sites
+        tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N
     )
     log(f"_blob_from_planes dispatch: {time.perf_counter()-t0:.1f} s")
 

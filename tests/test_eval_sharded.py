@@ -98,3 +98,27 @@ def test_mesh_packed_wide_tier_matches(rng, monkeypatch):
     np.testing.assert_allclose(
         packed["score"], single["score"], rtol=1e-9, atol=1e-9
     )
+
+
+def test_mesh_fuzz_random_shapes(rng):
+    """Random (N, L, min_cov) trials through the mesh packed path vs the
+    single-device packed path — pad interplay on both axes (sample rows
+    pad to the device count, site columns pad to CHUNK)."""
+    mesh = data_mesh(jax.devices()[:8])
+    for trial in range(4):
+        n_samples = int(rng.integers(9, 20))
+        n_sites = int(rng.integers(150, 600))
+        mc = int(rng.integers(0, 3))
+        data = _data(rng, n_samples, n_sites=n_sites)
+        opts = Options(all=True, min_cov=mc)
+        single = compute_pair_stats_tpu(data, opts, packed=True)
+        packed = compute_pair_stats_tpu(data, opts, mesh=mesh, packed=True)
+        for key in ("n", "ibs0", "shared_hets", "shared_homs",
+                    "hets1", "hets2", "homs1", "homs2"):
+            np.testing.assert_array_equal(
+                packed[key], single[key], err_msg=f"trial {trial} {key}"
+            )
+        np.testing.assert_allclose(
+            packed["score"], single["score"], rtol=1e-9, atol=1e-9,
+            err_msg=f"trial {trial}",
+        )

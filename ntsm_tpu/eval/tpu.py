@@ -600,13 +600,15 @@ def _replicate_tree(mesh, tree):
     return tree
 
 
-def _pack_mesh_blob(tallies_d, s1_d, joint_d, N: int, wire_lp: int):
+def _pack_mesh_blob(tallies_d, s1_d, joint_d, N: int, n_sites: int):
     """The packed-triangle blob from mesh stat planes: the same (ll, ints,
     hi) wire as _blob_from_planes, built under one jit over the sharded
     [Npad, N] planes (XLA inserts the gathers/collectives) — the fetch
     drops from fourteen [N, N] f32 planes (~574 MB at N=3202) to ~25
-    B/pair (~128 MB), the same discipline as the single-device path."""
-    narrow = wire_lp <= NARROW_WIRE_MAX_SITES
+    B/pair (~128 MB), the same discipline as the single-device path.
+    Tier bound: n_sites, same as _blob_from_planes (pads are n_valid-
+    masked)."""
+    narrow = n_sites <= NARROW_WIRE_MAX_SITES
 
     @jax.jit
     def pack(t, s, j):
@@ -643,9 +645,9 @@ def compute_pair_stats_tpu(
     _finalize_packed)."""
     N = data.n_samples
     if mesh is not None:
-        tallies_d, s1_d, joint_d, wire_lp = _mesh_stat_planes(data, opts, mesh)
+        tallies_d, s1_d, joint_d, _lp = _mesh_stat_planes(data, opts, mesh)
         if packed and N >= 2:
-            parts = _pack_mesh_blob(tallies_d, s1_d, joint_d, N, wire_lp)
+            parts = _pack_mesh_blob(tallies_d, s1_d, joint_d, N, data.n_sites)
             parts = _replicate_tree(mesh, parts)
             P_ = (N * (N - 1)) // 2
             buf = _fetch_blob_slice(parts, 0, P_)
@@ -697,7 +699,7 @@ def compute_pair_stats_tpu(
 
     if packed and N >= 2:
         parts = _blob_from_planes(tallies_d, s1_d, jint_d,
-                                  a_d, b_d, v_t, opts, N)
+                                  a_d, b_d, v_t, opts, N, data.n_sites)
         P = (N * (N - 1)) // 2
         buf = _fetch_blob_slice(parts, 0, P)
         iu, ju = np.triu_indices(N, 1)
@@ -808,7 +810,8 @@ def _unpack_blob(ll, ints, hi):
     return ll, iv
 
 
-def _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N):
+def _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N,
+                      n_sites: int):
     """Device triangle blob parts for the packed path: runs the joint
     fractional row tiles device-resident (no per-tile fetch) and gathers
     the i<j triangle of every statistic.  Returns the (lazy)
@@ -821,13 +824,14 @@ def _blob_from_planes(tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N):
         tiles.append(joint_fn(ai, bi, vi, a_d, b_d, v_t))
     jfh = jnp.concatenate([t[0] for t in tiles], axis=0)
     jfl = jnp.concatenate([t[1] for t in tiles], axis=0)
-    # every statistic is bounded by n <= the PADDED plane width (a
-    # negative -c makes the zero-count pad sites "valid", so the bound is
-    # Lp, not data.n_sites), so the u16+highbit wire is exact iff Lp fits
-    # 17 bits (1.4x the human set)
+    # every statistic is bounded by n <= n_sites (pad columns are masked
+    # out of the genotype planes by n_valid, for every -c), so the
+    # u16+highbit wire is exact iff the site count fits 17 bits (1.4x the
+    # human set).  NB: a_d here is the [C, N, c] chunked layout — its
+    # last dim is CHUNK, never use it as a site-count bound.
     return _pack_triangle(
         tallies_d, s1_d, jint_d, jfh[:N], jfl[:N],
-        narrow=int(a_d.shape[-1]) <= NARROW_WIRE_MAX_SITES,
+        narrow=n_sites <= NARROW_WIRE_MAX_SITES,
     )
 
 
@@ -1012,8 +1016,7 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     (~1e-9 relative, identical tallies); use --engine exact for bit-level
     output parity.
     """
-    from ntsm_tpu.eval.pca import calc_distance_sq, pca_candidates, search_radii
-    from ntsm_tpu.utils.formats import cpp_to_string
+    from ntsm_tpu.eval.pca import pca_candidates, search_radii
 
     radii = search_radii(data, opts)
     out.write(HEADER)
@@ -1047,18 +1050,19 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     # one-block pipeline: block k+1 is dispatched (device computes) and
     # fetched (on the worker thread) while the host finalizes and formats
     # block k — the same fetch/format overlap as the -a streamed path
+    def _fetch(dev):
+        return np.asarray(dev).astype(np.float64)
+
     fetch_ex = ThreadPoolExecutor(1)
     try:
         pend = _dispatch(0)
-        fut = fetch_ex.submit(lambda d: np.asarray(d).astype(np.float64), pend[3])
+        fut = fetch_ex.submit(_fetch, pend[3])
         for blk0 in range(0, len(pairs), PAIR_BLOCK):
             ii, jj, P, _ = pend
             blob_fut = fut
             if blk0 + PAIR_BLOCK < len(pairs):
                 pend = _dispatch(blk0 + PAIR_BLOCK)
-                fut = fetch_ex.submit(
-                    lambda d: np.asarray(d).astype(np.float64), pend[3]
-                )
+                fut = fetch_ex.submit(_fetch, pend[3])
             blob = blob_fut.result()
             _emit_pca_block(
                 data, opts, out, cov, emit_native, samp_cache, cloud,
@@ -1076,101 +1080,100 @@ def _emit_pca_block(data, opts, out, cov, emit_native, samp_cache, cloud,
     from ntsm_tpu.eval.pca import calc_distance_sq
     from ntsm_tpu.utils.formats import cpp_to_string
 
-    if True:
-        tallies = {
-            k: blob[r, :P].astype(np.int64)
-            for r, k in enumerate(
-                (
-                    "n",
-                    "shared_hets",
-                    "shared_homs",
-                    "ibs0",
-                    "hets1",
-                    "homs1",
-                    "hets2",
-                    "homs2",
-                )
+    tallies = {
+        k: blob[r, :P].astype(np.int64)
+        for r, k in enumerate(
+            (
+                "n",
+                "shared_hets",
+                "shared_homs",
+                "ibs0",
+                "hets1",
+                "homs1",
+                "hets2",
+                "homs2",
             )
-        }
-        J = ((blob[8] + blob[9]) - (blob[10] + blob[11]))[:P]
-        s1 = (blob[12] + blob[13])[:P]
-        loglik = -2.0 * (J - s1)
-        iv = ii[:P].astype(np.int64)
-        jv = jj[:P].astype(np.int64)
-        nvec = tallies["n"]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            score_v = np.where(
-                nvec > 0,
-                loglik
-                / (cov[iv] * cov[jv]) ** opts.cov_skew
-                / np.maximum(nvec, 1).astype(np.float64),
-                DBL_MAX,
-            )
-        if emit_native is not None:
-            keep = (
-                np.ones(P, dtype=bool)
+        )
+    }
+    J = ((blob[8] + blob[9]) - (blob[10] + blob[11]))[:P]
+    s1 = (blob[12] + blob[13])[:P]
+    loglik = -2.0 * (J - s1)
+    iv = ii[:P].astype(np.int64)
+    jv = jj[:P].astype(np.int64)
+    nvec = tallies["n"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        score_v = np.where(
+            nvec > 0,
+            loglik
+            / (cov[iv] * cov[jv]) ** opts.cov_skew
+            / np.maximum(nvec, 1).astype(np.float64),
+            DBL_MAX,
+        )
+    if emit_native is not None:
+        keep = (
+            np.ones(P, dtype=bool)
+            if opts.all
+            else score_v < opts.score_thresh
+        )
+        kk = np.nonzero(keep)[0]
+        if kk.size:
+            same = (
+                np.where(
+                    score_v[kk] < opts.score_thresh, ord("1"), ord("0")
+                ).astype(np.uint8)
                 if opts.all
-                else score_v < opts.score_thresh
+                else np.full(kk.size, ord("1"), dtype=np.uint8)
             )
-            kk = np.nonzero(keep)[0]
-            if kk.size:
-                same = (
-                    np.where(
-                        score_v[kk] < opts.score_thresh, ord("1"), ord("0")
-                    ).astype(np.uint8)
-                    if opts.all
-                    else np.full(kk.size, ord("1"), dtype=np.uint8)
-                )
-                f3, i9 = _pair_columns(
-                    score_v[kk],
-                    tallies["ibs0"][kk],
-                    tallies["shared_hets"][kk],
-                    tallies["shared_homs"][kk],
-                    tallies["hets1"][kk],
-                    tallies["hets2"][kk],
-                    tallies["homs1"][kk],
-                    tallies["homs2"][kk],
-                    nvec[kk],
-                )
-                d = (
-                    cloud[iv[kk], : opts.dim] - cloud[jv[kk], : opts.dim]
-                )
-                dist_v = (d * d).sum(axis=1)
-                _emit_rows_native(
-                    emit_native, data, out,
-                    np.ascontiguousarray(iv[kk].astype(np.int32)),
-                    np.ascontiguousarray(jv[kk].astype(np.int32)),
-                    f3, i9, same, dist_v, samp_w=samp_cache,
-                )
-            return
-        for t in range(P):
-            i, k = int(iv[t]), int(jv[t])
-            n = int(tallies["n"][t])
-            score = float(score_v[t])
-            if not (opts.all or score < opts.score_thresh):
-                continue
-            r = Relate(
-                ibs0=int(tallies["ibs0"][t]),
-                ibs2=int(tallies["shared_hets"][t] + tallies["shared_homs"][t]),
-                shared_homs=int(tallies["shared_homs"][t]),
-                shared_hets=int(tallies["shared_hets"][t]),
-                hets1=int(tallies["hets1"][t]),
-                homs1=int(tallies["homs1"][t]),
-                hets2=int(tallies["hets2"][t]),
-                homs2=int(tallies["homs2"][t]),
+            f3, i9 = _pair_columns(
+                score_v[kk],
+                tallies["ibs0"][kk],
+                tallies["shared_hets"][kk],
+                tallies["shared_homs"][kk],
+                tallies["hets1"][kk],
+                tallies["hets2"][kk],
+                tallies["homs1"][kk],
+                tallies["homs2"][kk],
+                nvec[kk],
             )
-            r.hom_concord = cpp_div(
-                float(r.shared_homs) - 2.0 * float(r.ibs0),
-                float(min(r.homs1, r.homs2)),
+            d = (
+                cloud[iv[kk], : opts.dim] - cloud[jv[kk], : opts.dim]
             )
-            r.relatedness = cpp_div(
-                float(r.shared_hets) - 2.0 * float(r.ibs0),
-                float(min(r.hets1, r.hets2)),
+            dist_v = (d * d).sum(axis=1)
+            _emit_rows_native(
+                emit_native, data, out,
+                np.ascontiguousarray(iv[kk].astype(np.int32)),
+                np.ascontiguousarray(jv[kk].astype(np.int32)),
+                f3, i9, same, dist_v, samp_w=samp_cache,
             )
-            dist = cpp_to_string(calc_distance_sq(cloud, i, k, opts.dim))
-            res = PairResult(i=i, j=k, score=score, n=n, relate=r)
-            out.write(results_row(data, res, dist, opts))
-            out.write("\n")
+        return
+    for t in range(P):
+        i, k = int(iv[t]), int(jv[t])
+        n = int(tallies["n"][t])
+        score = float(score_v[t])
+        if not (opts.all or score < opts.score_thresh):
+            continue
+        r = Relate(
+            ibs0=int(tallies["ibs0"][t]),
+            ibs2=int(tallies["shared_hets"][t] + tallies["shared_homs"][t]),
+            shared_homs=int(tallies["shared_homs"][t]),
+            shared_hets=int(tallies["shared_hets"][t]),
+            hets1=int(tallies["hets1"][t]),
+            homs1=int(tallies["homs1"][t]),
+            hets2=int(tallies["hets2"][t]),
+            homs2=int(tallies["homs2"][t]),
+        )
+        r.hom_concord = cpp_div(
+            float(r.shared_homs) - 2.0 * float(r.ibs0),
+            float(min(r.homs1, r.homs2)),
+        )
+        r.relatedness = cpp_div(
+            float(r.shared_hets) - 2.0 * float(r.ibs0),
+            float(min(r.hets1, r.hets2)),
+        )
+        dist = cpp_to_string(calc_distance_sq(cloud, i, k, opts.dim))
+        res = PairResult(i=i, j=k, score=score, n=n, relate=r)
+        out.write(results_row(data, res, dist, opts))
+        out.write("\n")
 
 
 def _auto_mesh():
@@ -1408,9 +1411,9 @@ def _stream_packed_rows(data: CountData, opts: Options, out, mesh=None) -> None:
 
     N = data.n_samples
     if mesh is not None:
-        tallies_m, s1_m, joint_m, wire_lp = _mesh_stat_planes(data, opts, mesh)
+        tallies_m, s1_m, joint_m, _lp = _mesh_stat_planes(data, opts, mesh)
         parts = _replicate_tree(
-            mesh, _pack_mesh_blob(tallies_m, s1_m, joint_m, N, wire_lp)
+            mesh, _pack_mesh_blob(tallies_m, s1_m, joint_m, N, data.n_sites)
         )
     else:
         tallies_d, s1_d, jint_d, a_d, b_d, v_t = _planes_and_tallies(
@@ -1420,7 +1423,7 @@ def _stream_packed_rows(data: CountData, opts: Options, out, mesh=None) -> None:
             n_valid=data.n_sites,
         )
         parts = _blob_from_planes(
-            tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N
+            tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, data.n_sites
         )
     P = (N * (N - 1)) // 2
     iu, ju = np.triu_indices(N, 1)

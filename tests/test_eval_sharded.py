@@ -108,7 +108,7 @@ def test_mesh_fuzz_random_shapes(rng):
     for trial in range(4):
         n_samples = int(rng.integers(9, 20))
         n_sites = int(rng.integers(150, 600))
-        mc = int(rng.integers(0, 3))
+        mc = int(rng.integers(-1, 3))  # -1: pad columns pass > mc
         data = _data(rng, n_samples, n_sites=n_sites)
         opts = Options(all=True, min_cov=mc)
         single = compute_pair_stats_tpu(data, opts, packed=True)

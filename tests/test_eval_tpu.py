@@ -497,3 +497,34 @@ def test_negative_min_cov_pads_stay_invalid(rng):
         )
         _, n_exact, _ = pair_score(data, 0, 1, opts)
         assert int(blob[0, 0]) == n_exact
+
+
+def test_packed_wide_tier_beyond_17_bits(rng):
+    """n_sites > 131071 must select the wide (all-f32) blob tier — the
+    narrow u16+high-bit wire only carries 17 bits per statistic.  The
+    tier bound is the real site count, NOT any plane dimension (the
+    chunked [C, N, c] layout's last dim is CHUNK)."""
+    import ntsm_tpu.eval.model as M
+    import ntsm_tpu.eval.tpu as T
+
+    N, L = 3, T.NARROW_WIRE_MAX_SITES + 29  # 131100 sites
+    mx = np.zeros((N, L, 2), dtype=np.int64)
+    mx[:, :, 0] = 2  # every site valid at default -c 1: n = L > 2^17
+    mx[:, :, 1] = 2
+    data = M.CountData(
+        filenames=[f"s{i}" for i in range(N)],
+        locus_ids=[f"rs{i}" for i in range(L)],
+        distinct=np.full((L, 2), 10, dtype=np.int64),
+        max_counts=mx,
+        sum_counts=mx * 3,
+        raw_total_kmers=np.full(N, 10_000_000, dtype=np.int64),
+        ks=np.full(N, 19, dtype=np.int64),
+        total_counts=mx.sum(axis=(1, 2)),
+    )
+    opts = Options(all=True, genome_size=1_000_000)
+    data.prepare(opts)
+    st = compute_pair_stats_tpu(data, opts, packed=True)
+    assert int(st["n"][0]) == L  # would be corrupt on the narrow wire
+    score, n, rel = pair_score(data, 0, 1, opts)
+    assert int(st["n"][0]) == n
+    assert float(st["score"][0]) == pytest.approx(score, rel=5e-6, abs=5e-6)

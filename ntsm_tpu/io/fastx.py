@@ -89,16 +89,27 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
             seq = seq_parts[0] if len(seq_parts) == 1 else b"".join(seq_parts)
             qual = None
             if is_fastq:
+                # kseq reads at least one quality line (ks_getuntil2 runs
+                # before the length check, kseq.h:214) and keeps reading
+                # while qual.l < seq.l; a final length mismatch is
+                # kseq_read's -2 return, which ends the reference's
+                # per-file `while (kseq_read(seq) >= 0)` loop
+                # (FingerPrint.hpp:156) — drop the record and abandon the
+                # rest of the file.
                 qual_parts: list[bytes] = []
                 qlen = 0
                 slen = len(seq)
-                while qlen < slen:
+                first = True
+                while first or qlen < slen:
                     ql = buffered.readline()
                     if not ql:
                         break
+                    first = False
                     ql = ql.rstrip(b"\r\n")
                     qual_parts.append(ql)
                     qlen += len(ql)
+                if qlen != slen:
+                    return  # kseq -2: malformed quality aborts the file
                 qual = (
                     qual_parts[0]
                     if len(qual_parts) == 1

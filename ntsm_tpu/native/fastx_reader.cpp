@@ -263,8 +263,23 @@ struct Reader {
                 size_t qn = 0;
                 const uint8_t* ql;
                 lr.getline(&ql, &qn);  // '+' separator line
+                // kseq reads at least one quality line and stops once
+                // qual.l >= seq.l (kseq.h:214); a length mismatch is
+                // kseq_read's -2, which ends the reference's per-file
+                // `while (kseq_read(seq) >= 0)` loop
+                // (FingerPrint.hpp:156): drop the record, abandon the
+                // rest of the file.
                 size_t qlen = 0;
-                while (qlen < seq.size() && lr.getline(&ql, &qn)) qlen += qn;
+                bool first = true;
+                while ((first || qlen < seq.size()) && lr.getline(&ql, &qn)) {
+                    qlen += qn;
+                    first = false;
+                }
+                if (qlen != seq.size()) {
+                    lr.close();
+                    file_open = false;
+                    continue;  // next file
+                }
             }
             return true;
         }

@@ -106,6 +106,20 @@ def main(ref_dir: str):
         stdout=FIXTURES / "sampleA_junk_counts.txt",
     )
 
+    # kseq -2 fixture: a record whose quality length mismatches its
+    # sequence makes kseq_read return -2, ending the reference's per-file
+    # `while (kseq_read(seq) >= 0)` loop — reads after the bad record are
+    # never counted
+    (FIXTURES / "sampleA_badqual.fq").write_text(
+        "".join(reads_a[:half])
+        + "@bad\nACGT\n+\nIIIIIIIIII\n"
+        + "".join(reads_a[half:])
+    )
+    sh(
+        [ntsm_count, "-t", "1", "-s", "sites.fa", "sampleA_badqual.fq"],
+        stdout=FIXTURES / "sampleA_badqual_counts.txt",
+    )
+
     # synthetic PCA rotation + center files (contents arbitrary; eval just
     # loads them — parity only needs both tools to read identical files)
     rot = FIXTURES / "rotation.tsv"

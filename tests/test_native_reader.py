@@ -358,3 +358,21 @@ def test_pure_junk_file_yields_nothing(rng, tmp_path):
 
     assert list(read_fastx(str(p))) == []
     _assert_same([str(p)], seglen=32)
+
+
+def test_bad_quality_aborts_file(rng, tmp_path):
+    """kseq_read returns -2 on a quality/sequence length mismatch and the
+    reference's per-file loop stops; both readers must drop the bad
+    record AND everything after it in that file, while later files still
+    parse."""
+    good = "@r0\nACGTACGTAC\n+\nIIIIIIIIII\n"
+    bad = tmp_path / "bad.fq"
+    bad.write_text(good + "@bad\nACGT\n+\nIIIIIIIIII\n" + good)
+    ok = tmp_path / "ok.fq"
+    ok.write_text("@r1\nTTTTGGGGCC\n+\nIIIIIIIIII\n")
+    _assert_same([str(bad), str(ok)], seglen=32)
+    from ntsm_tpu.io.fastx import read_fastx
+
+    assert [r.name for r in read_fastx(str(bad))] == ["r0"]
+    nb = _batches(NativeBatchReader([str(bad), str(ok)], k=5, seglen=32, batch=8))
+    assert sum(b[2] for b in nb) == 2  # r0 + r1, bad tail dropped

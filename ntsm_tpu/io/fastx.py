@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
@@ -26,12 +27,65 @@ import numpy as np
 from ntsm_tpu.core.encode import NT4_TABLE
 
 
+class _ZlibRaw(io.RawIOBase):
+    """gzread-semantics gzip stream: yields every byte zlib can inflate
+    and reports truncated or corrupt input as EOF instead of raising —
+    the reference reads through gzread (vendor/kseq.h via zlib), so a
+    truncated .gz counts whatever inflated; Python's gzip module both
+    raises AND buffers more coarsely, returning fewer bytes first.
+    Handles concatenated members (bgzf-style) like gzread does."""
+
+    def __init__(self, fh):
+        self._fh = fh
+        self._d = zlib.decompressobj(15 + 32)
+        self._pending = b""
+        self._eof = False
+
+    def readable(self) -> bool:
+        return True
+
+    def _fill(self) -> None:
+        raw = self._fh.read(1 << 16)
+        if not raw:
+            self._eof = True
+            return
+        try:
+            self._pending += self._d.decompress(raw)
+        except zlib.error:
+            self._eof = True
+            return
+        while self._d.eof:  # member boundary: restart on the unused tail
+            tail = self._d.unused_data
+            self._d = zlib.decompressobj(15 + 32)
+            if not tail:
+                break
+            try:
+                self._pending += self._d.decompress(tail)
+            except zlib.error:  # trailing garbage: stop like gzread
+                self._eof = True
+                break
+
+    def readinto(self, b) -> int:
+        while not self._pending and not self._eof:
+            self._fill()
+        k = min(len(b), len(self._pending))
+        b[:k] = self._pending[:k]
+        self._pending = self._pending[k:]
+        return k
+
+    def close(self) -> None:
+        try:
+            self._fh.close()
+        finally:
+            super().close()
+
+
 def _open(path: str):
     fh = open(path, "rb")
     magic = fh.read(2)
     fh.seek(0)
     if magic == b"\x1f\x8b":
-        return gzip.open(fh, "rb")
+        return io.BufferedReader(_ZlibRaw(fh))
     return fh
 
 
@@ -58,7 +112,17 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
     """
     with _open(path) as fh:
         buffered = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
-        line = buffered.readline()
+
+        def _rl() -> bytes:
+            # zlib's gzread reports a truncated or corrupt gzip stream as
+            # EOF, so the reference counts whatever inflated (kseq reads
+            # through gzread); Python's gzip raises instead — match zlib.
+            try:
+                return buffered.readline()
+            except (EOFError, zlib.error, gzip.BadGzipFile):
+                return b""
+
+        line = _rl()
         while line:
             hdr = line.rstrip(b"\r\n")
             if hdr[:1] not in (b">", b"@"):
@@ -68,13 +132,13 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
                     default=-1,
                 )
                 if i < 0:
-                    line = buffered.readline()
+                    line = _rl()
                     continue
                 hdr = hdr[i:]
             name = _header_name(hdr)
             seq_parts: list[bytes] = []
             is_fastq = False
-            line = buffered.readline()
+            line = _rl()
             while line:
                 c = line[:1]
                 if c == b"+":
@@ -85,7 +149,7 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
                 s = line.rstrip(b"\r\n")
                 if s:
                     seq_parts.append(s)
-                line = buffered.readline()
+                line = _rl()
             seq = seq_parts[0] if len(seq_parts) == 1 else b"".join(seq_parts)
             qual = None
             if is_fastq:
@@ -101,7 +165,7 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
                 slen = len(seq)
                 first = True
                 while first or qlen < slen:
-                    ql = buffered.readline()
+                    ql = _rl()
                     if not ql:
                         break
                     first = False
@@ -115,7 +179,7 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
                     if len(qual_parts) == 1
                     else b"".join(qual_parts)
                 )
-                line = buffered.readline()
+                line = _rl()
             yield FastxRecord(name, seq, qual)
 
 

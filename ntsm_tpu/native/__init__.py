@@ -37,9 +37,13 @@ _tried = False
 
 
 def _build(so: str) -> bool:
+    # build into a pid-unique name, then atomically rename: concurrent
+    # processes (a CLI run racing a test run) must never dlopen or
+    # overwrite a half-written .so
+    tmp = f"{os.path.basename(so)}.tmp{os.getpid()}"
     try:
         res = subprocess.run(
-            ["make", "-C", _DIR, "-s", f"SO={os.path.basename(so)}"],
+            ["make", "-C", _DIR, "-s", f"SO={tmp}"],
             capture_output=True,
             text=True,
             timeout=120,
@@ -50,6 +54,7 @@ def _build(so: str) -> bool:
                 file=sys.stderr,
             )
             return False
+        os.replace(os.path.join(_DIR, tmp), so)
         return True
     except Exception as e:  # no make/g++ in this environment
         print(
@@ -57,6 +62,11 @@ def _build(so: str) -> bool:
             file=sys.stderr,
         )
         return False
+    finally:
+        try:
+            os.unlink(os.path.join(_DIR, tmp))
+        except OSError:
+            pass
 
 
 def load():

@@ -376,3 +376,21 @@ def test_bad_quality_aborts_file(rng, tmp_path):
     assert [r.name for r in read_fastx(str(bad))] == ["r0"]
     nb = _batches(NativeBatchReader([str(bad), str(ok)], k=5, seglen=32, batch=8))
     assert sum(b[2] for b in nb) == 2  # r0 + r1, bad tail dropped
+
+
+def test_truncated_gzip_counts_partial(rng, tmp_path):
+    """gzread semantics: a truncated .gz yields every byte zlib could
+    inflate, then EOF — no error.  Native and Python readers must agree
+    on the partial record stream at several cut points."""
+    import io as _io
+
+    blob_io = _io.BytesIO()
+    with gzip.GzipFile(fileobj=blob_io, mode="wb") as zf:
+        for i in range(40):
+            s = _rand_seq(rng, 80)
+            zf.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n".encode())
+    blob = blob_io.getvalue()
+    for frac in (0.2, 0.5, 0.9):
+        p = tmp_path / f"t{int(frac * 100)}.fq.gz"
+        p.write_bytes(blob[: int(len(blob) * frac)])
+        _assert_same([str(p)], seglen=48)

@@ -540,11 +540,11 @@ def _joint_int_matmuls(a_l, b_l, v_l, a_f, b_f, v_f, mc: float, chunk: int):
 
 def _mesh_stat_planes(data, opts, mesh):
     """Row-sharded pairwise stat planes over the mesh: (tallies dict,
-    s1 4-tuple, joint 4-tuple) of [Npad, N] device arrays plus the padded
-    wire width.  On multi-host meshes each process feeds only its local
-    row slice (assembled into one global array) and the in-kernel
-    all_gather spans hosts via ICI/DCN; outputs stay row-sharded — run
-    them through _replicate_tree before fetching."""
+    s1 4-tuple, joint 4-tuple) of [Npad, N] device arrays.  On multi-host
+    meshes each process feeds only its local row slice (assembled into
+    one global array) and the in-kernel all_gather spans hosts via
+    ICI/DCN; outputs stay row-sharded — run them through _replicate_tree
+    before fetching."""
     N = data.n_samples
     a_np, b_np = _wire_planes(data)
     D = mesh.devices.size
@@ -580,7 +580,7 @@ def _mesh_stat_planes(data, opts, mesh):
         tallies_d, s1_d, joint_d = stats_fn(
             jnp.asarray(a_np), jnp.asarray(b_np)
         )
-    return tallies_d, s1_d, joint_d, int(a_np.shape[1])
+    return tallies_d, s1_d, joint_d
 
 
 def _replicate_tree(mesh, tree):
@@ -645,7 +645,7 @@ def compute_pair_stats_tpu(
     _finalize_packed)."""
     N = data.n_samples
     if mesh is not None:
-        tallies_d, s1_d, joint_d, _lp = _mesh_stat_planes(data, opts, mesh)
+        tallies_d, s1_d, joint_d = _mesh_stat_planes(data, opts, mesh)
         if packed and N >= 2:
             parts = _pack_mesh_blob(tallies_d, s1_d, joint_d, N, data.n_sites)
             parts = _replicate_tree(mesh, parts)
@@ -1411,7 +1411,7 @@ def _stream_packed_rows(data: CountData, opts: Options, out, mesh=None) -> None:
 
     N = data.n_samples
     if mesh is not None:
-        tallies_m, s1_m, joint_m, _lp = _mesh_stat_planes(data, opts, mesh)
+        tallies_m, s1_m, joint_m = _mesh_stat_planes(data, opts, mesh)
         parts = _replicate_tree(
             mesh, _pack_mesh_blob(tallies_m, s1_m, joint_m, N, data.n_sites)
         )

@@ -16,7 +16,7 @@ two host-side paths:
 
 from __future__ import annotations
 
-import gzip
+import ctypes
 import io
 import zlib
 from dataclasses import dataclass
@@ -27,18 +27,158 @@ import numpy as np
 from ntsm_tpu.core.encode import NT4_TABLE
 
 
+class _ZStream(ctypes.Structure):
+    _fields_ = [
+        ("next_in", ctypes.c_void_p),
+        ("avail_in", ctypes.c_uint),
+        ("total_in", ctypes.c_ulong),
+        ("next_out", ctypes.c_void_p),
+        ("avail_out", ctypes.c_uint),
+        ("total_out", ctypes.c_ulong),
+        ("msg", ctypes.c_char_p),
+        ("state", ctypes.c_void_p),
+        ("zalloc", ctypes.c_void_p),
+        ("zfree", ctypes.c_void_p),
+        ("opaque", ctypes.c_void_p),
+        ("data_type", ctypes.c_int),
+        ("adler", ctypes.c_ulong),
+        ("reserved", ctypes.c_ulong),
+    ]
+
+
+_LIBZ = None
+_LIBZ_TRIED = False
+
+
+def _libz():
+    global _LIBZ, _LIBZ_TRIED
+    if not _LIBZ_TRIED:
+        _LIBZ_TRIED = True
+        try:
+            lz = ctypes.CDLL("libz.so.1")
+            lz.zlibVersion.restype = ctypes.c_char_p
+            _LIBZ = lz
+        except OSError:
+            _LIBZ = None
+    return _LIBZ
+
+
+GZ_CALL = 16384  # kseq's gzread request size (vendor/kseq.h:229)
+
+
+class _InflateRaw(io.RawIOBase):
+    """gzread-semantics gzip stream via libz's inflate (ctypes).
+
+    The reference reads through kseq, which refills its buffer with
+    `gzread(f, buf, 16384)` calls (vendor/kseq.h:229,74).  Measured
+    gzread behavior on damaged input (A/B'd against the reference binary
+    for trailer-CRC flips, ISIZE flips, mid-stream flips, truncation):
+
+    * truncation (clean EOF, no error): every inflated byte is returned;
+    * ANY zlib data error (bad CRC trailer, mid-stream damage): the
+      erroring 16384-byte CALL returns -1, so its entire output window
+      is voided — but all PRIOR calls' output stands.
+
+    Python's zlib module cannot express this (decompressobj discards the
+    raising call's output unconditionally), so this drives libz's
+    inflate directly and reproduces the per-call window granularity.
+    Concatenated members (bgzf-style) restart via inflateReset2, like
+    gzread."""
+
+    Z_OK, Z_STREAM_END, Z_BUF_ERROR = 0, 1, -5
+
+    def __init__(self, fh):
+        self._fh = fh
+        self._z = _libz()
+        self._s = _ZStream()
+        self._inbuf = None
+        self._feof = False
+        self._stream_done = False
+        self._win = b""
+        self._wpos = 0
+        self._wbuf = ctypes.create_string_buffer(GZ_CALL)
+        rc = self._z.inflateInit2_(
+            ctypes.byref(self._s), 15 + 32, self._z.zlibVersion(),
+            ctypes.c_int(ctypes.sizeof(self._s)),
+        )
+        if rc != self.Z_OK:
+            raise OSError(f"inflateInit2 failed ({rc})")
+
+    def readable(self) -> bool:
+        return True
+
+    def _gzread_call(self) -> bytes:
+        """One emulated gzread(f, buf, 16384): the inflated window, b""
+        at EOF, and b"" with the stream poisoned on a data error (the
+        erroring call's output is voided, as gzread returns -1)."""
+        s, z = self._s, self._z
+        base = ctypes.addressof(self._wbuf)
+        produced = 0
+        error = False
+        while produced < GZ_CALL:
+            if s.avail_in == 0 and not self._feof:
+                raw = self._fh.read(1 << 16)
+                if not raw:
+                    self._feof = True
+                else:
+                    self._inbuf = ctypes.create_string_buffer(raw, len(raw))
+                    s.next_in = ctypes.addressof(self._inbuf)
+                    s.avail_in = len(raw)
+            s.next_out = base + produced
+            s.avail_out = GZ_CALL - produced
+            rc = z.inflate(ctypes.byref(s), 0)  # Z_NO_FLUSH
+            produced = GZ_CALL - s.avail_out
+            if rc == self.Z_STREAM_END:
+                if s.avail_in == 0 and self._feof:
+                    self._stream_done = True
+                    break
+                if z.inflateReset2(ctypes.byref(s), 15 + 32) != self.Z_OK:
+                    self._stream_done = True
+                    break
+            elif rc != self.Z_OK and rc != self.Z_BUF_ERROR:
+                error = True
+                self._stream_done = True
+                break
+            elif rc == self.Z_BUF_ERROR and s.avail_in == 0 and self._feof:
+                self._stream_done = True
+                break
+        if error:
+            return b""
+        return self._wbuf.raw[:produced]
+
+    def readinto(self, b) -> int:
+        if self._wpos >= len(self._win):
+            if self._stream_done:
+                return 0
+            self._win = self._gzread_call()
+            self._wpos = 0
+            if not self._win:
+                return 0
+        k = min(len(b), len(self._win) - self._wpos)
+        b[:k] = self._win[self._wpos : self._wpos + k]
+        self._wpos += k
+        return k
+
+    def close(self) -> None:
+        try:
+            if self._z is not None:
+                self._z.inflateEnd(ctypes.byref(self._s))
+                self._z = None
+            self._fh.close()
+        finally:
+            super().close()
+
+
 class _ZlibRaw(io.RawIOBase):
-    """gzread-semantics gzip stream: yields every byte zlib can inflate
-    and reports truncated or corrupt input as EOF instead of raising —
-    the reference reads through gzread (vendor/kseq.h via zlib), so a
-    truncated .gz counts whatever inflated; Python's gzip module both
-    raises AND buffers more coarsely, returning fewer bytes first.
-    Handles concatenated members (bgzf-style) like gzread does."""
+    """Fallback gzip stream when libz isn't loadable: decompressobj with
+    errors treated as EOF.  NOT byte-exact with gzread on corrupt (not
+    merely truncated) members — a decompress call that raises discards
+    its own output; _InflateRaw is the exact path."""
 
     def __init__(self, fh):
         self._fh = fh
         self._d = zlib.decompressobj(15 + 32)
-        self._pending = b""
+        self._pending = memoryview(b"")
         self._eof = False
 
     def readable(self) -> bool:
@@ -50,7 +190,7 @@ class _ZlibRaw(io.RawIOBase):
             self._eof = True
             return
         try:
-            self._pending += self._d.decompress(raw)
+            self._pending = memoryview(self._d.decompress(raw))
         except zlib.error:
             self._eof = True
             return
@@ -60,7 +200,11 @@ class _ZlibRaw(io.RawIOBase):
             if not tail:
                 break
             try:
-                self._pending += self._d.decompress(tail)
+                more = self._d.decompress(tail)
+                if more:
+                    self._pending = memoryview(
+                        bytes(self._pending) + more
+                    )
             except zlib.error:  # trailing garbage: stop like gzread
                 self._eof = True
                 break
@@ -70,7 +214,7 @@ class _ZlibRaw(io.RawIOBase):
             self._fill()
         k = min(len(b), len(self._pending))
         b[:k] = self._pending[:k]
-        self._pending = self._pending[k:]
+        self._pending = self._pending[k:]  # memoryview slice: no copy
         return k
 
     def close(self) -> None:
@@ -85,7 +229,8 @@ def _open(path: str):
     magic = fh.read(2)
     fh.seek(0)
     if magic == b"\x1f\x8b":
-        return io.BufferedReader(_ZlibRaw(fh))
+        raw = _InflateRaw(fh) if _libz() is not None else _ZlibRaw(fh)
+        return io.BufferedReader(raw)
     return fh
 
 
@@ -113,15 +258,7 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
     with _open(path) as fh:
         buffered = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
 
-        def _rl() -> bytes:
-            # zlib's gzread reports a truncated or corrupt gzip stream as
-            # EOF, so the reference counts whatever inflated (kseq reads
-            # through gzread); Python's gzip raises instead — match zlib.
-            try:
-                return buffered.readline()
-            except (EOFError, zlib.error, gzip.BadGzipFile):
-                return b""
-
+        _rl = buffered.readline  # gz streams report errors as EOF
         line = _rl()
         while line:
             hdr = line.rstrip(b"\r\n")

@@ -58,21 +58,19 @@ struct GzFile {
         return true;
     }
 
-    // returns bytes produced into buf (0 = eof)
-    size_t read(uint8_t* buf, size_t want) {
-        if (!gz) {
-            size_t got = 0;
-            if (in_pos < in_len) {
-                got = std::min(want, in_len - in_pos);
-                std::memcpy(buf, in.data() + in_pos, got);
-                in_pos += got;
-            }
-            if (got < want && fp && !std::feof(fp)) {
-                got += std::fread(buf + got, 1, want - got, fp);
-            }
-            return got;
-        }
+    // One emulated gzread(f, buf, want): kseq refills through 16384-byte
+    // gzread calls (vendor/kseq.h:229,74), and measured gzread behavior
+    // on damaged input (A/B'd vs the reference binary) is: truncation =
+    // clean EOF keeping every inflated byte; ANY zlib data error (bad
+    // CRC trailer, mid-stream damage) returns -1 from the erroring call,
+    // voiding that call's whole output window while prior calls stand.
+    // stream_done latches so nothing follows the error.
+    bool stream_done = false;
+
+    size_t read_call(uint8_t* buf, size_t want) {
+        if (stream_done) return 0;
         size_t produced = 0;
+        bool error = false;
         while (produced < want) {
             if (zs.avail_in == 0 && fp && !std::feof(fp)) {
                 in_len = std::fread(in.data(), 1, CHUNK, fp);
@@ -88,16 +86,65 @@ struct GzFile {
             int rc = inflate(&zs, Z_NO_FLUSH);
             produced = want - zs.avail_out;
             if (rc == Z_STREAM_END) {
-                if (zs.avail_in == 0 && (!fp || std::feof(fp))) break;
-                if (inflateReset2(&zs, 15 + 32) != Z_OK) break;
+                if (zs.avail_in == 0 && (!fp || std::feof(fp))) {
+                    stream_done = true;
+                    break;
+                }
+                if (inflateReset2(&zs, 15 + 32) != Z_OK) {
+                    stream_done = true;
+                    break;
+                }
             } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
-                break;  // corrupt trailing data: stop like gzip does
+                error = true;  // data error: this call yields nothing
+                stream_done = true;
+                break;
             } else if (rc == Z_BUF_ERROR && zs.avail_in == 0 &&
                        (!fp || std::feof(fp))) {
+                stream_done = true;
                 break;
             }
         }
-        return produced;
+        return error ? 0 : produced;
+    }
+
+    // returns bytes produced into buf (0 = eof).  gz output is staged
+    // through whole 16384-byte windows (one read_call each) so the
+    // error-voiding granularity matches kseq's gzread calls exactly: a
+    // window is only served once it inflated cleanly, and window
+    // boundaries sit at global multiples of 16384 regardless of the
+    // caller's read sizes.
+    std::vector<uint8_t> win;
+    size_t win_pos = 0;
+
+    size_t read(uint8_t* buf, size_t want) {
+        if (!gz) {
+            size_t got = 0;
+            if (in_pos < in_len) {
+                got = std::min(want, in_len - in_pos);
+                std::memcpy(buf, in.data() + in_pos, got);
+                in_pos += got;
+            }
+            if (got < want && fp && !std::feof(fp)) {
+                got += std::fread(buf + got, 1, want - got, fp);
+            }
+            return got;
+        }
+        constexpr size_t GZ_CALL = 16384;
+        size_t total = 0;
+        while (total < want) {
+            if (win_pos >= win.size()) {
+                win.resize(GZ_CALL);
+                size_t got = read_call(win.data(), GZ_CALL);
+                win.resize(got);
+                win_pos = 0;
+                if (got == 0) break;
+            }
+            size_t k = std::min(want - total, win.size() - win_pos);
+            std::memcpy(buf + total, win.data() + win_pos, k);
+            win_pos += k;
+            total += k;
+        }
+        return total;
     }
 
     void close() {

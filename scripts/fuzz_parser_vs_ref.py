@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 MUTATIONS = (
     "none", "leading_junk", "midline_header", "inter_junk", "truncate",
     "qual_long", "qual_short", "empty_lines", "crlf", "del_byte",
-    "dup_line", "swap_at_gt", "gz_trunc",
+    "dup_line", "swap_at_gt", "gz_trunc", "gz_flip",
 )
 
 
@@ -36,19 +36,19 @@ def mutate(text: str, kind: str, rng) -> str:
     if kind == "midline_header":
         return "junk bytes " + text  # '@'/'>' of record 1 now mid-line
     if kind == "inter_junk":
-        k = (int(rng.integers(1, max(2, len(lines) // 4))) // 4) * 4
+        k = int(rng.integers(1, max(2, len(lines) // 4))) * 4
         return "".join(lines[:k]) + "-- junk --\n" + "".join(lines[k:])
     if kind == "truncate":
         cut = int(rng.integers(1, len(text)))
         return text[:cut]
     if kind == "qual_long":
-        k = (int(rng.integers(0, max(1, len(lines) // 4))) // 4) * 4
+        k = int(rng.integers(0, max(1, len(lines) // 4))) * 4
         return "".join(lines[:k]) + "@bad\nACGT\n+\nIIIIIIIIII\n" + "".join(lines[k:])
     if kind == "qual_short":
-        k = (int(rng.integers(0, max(1, len(lines) // 4))) // 4) * 4
+        k = int(rng.integers(0, max(1, len(lines) // 4))) * 4
         return "".join(lines[:k]) + "@bad\nACGTACGT\n+\nII\nACGT\n" + "".join(lines[k:])
     if kind == "empty_lines":
-        k = (int(rng.integers(1, max(2, len(lines) // 4))) // 4) * 4
+        k = int(rng.integers(1, max(2, len(lines) // 4))) * 4
         return "".join(lines[:k]) + "\n\n" + "".join(lines[k:])
     if kind == "crlf":
         return text.replace("\n", "\r\n")
@@ -59,7 +59,7 @@ def mutate(text: str, kind: str, rng) -> str:
         k = int(rng.integers(0, len(lines)))
         return "".join(lines[: k + 1]) + lines[k] + "".join(lines[k + 1 :])
     if kind == "swap_at_gt":
-        k = (int(rng.integers(0, max(1, len(lines) // 4))) // 4) * 4
+        k = int(rng.integers(0, max(1, len(lines) // 4))) * 4
         if lines and lines[k].startswith("@"):
             lines[k] = ">" + lines[k][1:]
         return "".join(lines)
@@ -97,7 +97,7 @@ def main() -> int:
         base = os.path.join(tmp, f"t{t}.fq")
         make_reads_fastq(rng, sites, coverage=3, genotype="het", path=base)
         kind = MUTATIONS[t % len(MUTATIONS)]
-        if kind == "gz_trunc":
+        if kind in ("gz_trunc", "gz_flip"):
             # truncated gzip: the reference counts whatever zlib inflates
             import gzip as _gz
 
@@ -106,7 +106,13 @@ def main() -> int:
                 zf.write(open(base, "rb").read())
             blob = blob_io.getvalue()
             path = os.path.join(tmp, f"t{t}_{kind}.fq.gz")
-            cut = int(rng.integers(1, len(blob)))
+            if kind == "gz_flip":  # bit flip: gzread voids the erroring
+                blob = bytearray(blob)  # 16384-byte call window
+                blob[int(rng.integers(10, len(blob)))] ^= 1 << int(rng.integers(0, 8))
+                blob = bytes(blob)
+                cut = len(blob)
+            else:
+                cut = int(rng.integers(1, len(blob)))
             with open(path, "wb") as fh:
                 fh.write(blob[:cut])
         else:

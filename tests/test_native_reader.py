@@ -394,3 +394,31 @@ def test_truncated_gzip_counts_partial(rng, tmp_path):
         p = tmp_path / f"t{int(frac * 100)}.fq.gz"
         p.write_bytes(blob[: int(len(blob) * frac)])
         _assert_same([str(p)], seglen=48)
+
+
+def test_corrupt_gzip_window_voiding_parity(rng, tmp_path):
+    """gzread's measured damage semantics (A/B'd vs the reference
+    binary): a zlib data error voids the erroring 16384-byte call window
+    entirely; prior windows stand.  Both readers stage gz output through
+    aligned 16384-byte windows — flip bytes at several depths and they
+    must agree batch-for-batch."""
+    import io as _io
+
+    blob_io = _io.BytesIO()
+    with gzip.GzipFile(fileobj=blob_io, mode="wb") as zf:
+        for i in range(400):
+            s = _rand_seq(rng, 120)
+            zf.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n".encode())
+    blob = bytearray(blob_io.getvalue())
+    for name, pos in (
+        ("crc", len(blob) - 6),
+        ("isize", len(blob) - 2),
+        ("mid", len(blob) // 2),
+        ("q3", 3 * len(blob) // 4),
+        ("early", 30),
+    ):
+        b2 = bytearray(blob)
+        b2[pos] ^= 0x01
+        p = tmp_path / f"{name}.fq.gz"
+        p.write_bytes(bytes(b2))
+        _assert_same([str(p)], seglen=64)

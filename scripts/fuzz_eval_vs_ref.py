@@ -78,6 +78,9 @@ FLAGSETS = (
     ["-a", "-g", "120000"],
     ["-s", "2.5", "-a"],
     "qc",  # single-file QC mode (general stats table)
+    "pca",  # -p filtered scoring: kd-tree-equivalent candidate parity
+    "pca-all",
+    "merge",  # -o -e: merged counts file byte parity
 )
 
 
@@ -105,8 +108,50 @@ def main() -> int:
     for t in range(trials):
         paths = make_cohort(tmp, t, rng)
         flags = FLAGSETS[t % len(FLAGSETS)]
+        merge_pair = None
+        if flags == "merge":
+            ra = os.path.join(tmp, f"t{t}_ref_merged.txt")
+            ob = os.path.join(tmp, f"t{t}_our_merged.txt")
+            merge_pair = (ra, ob)
+            ref = subprocess.run(
+                [ref_bin, "-t", "1", "-o", "-e", ra, *paths[:2]],
+                capture_output=True,
+            )
+            ours = subprocess.run(
+                [sys.executable, "-m", "ntsm_tpu", "eval", "--engine",
+                 "exact", "-o", "-e", ob, *paths[:2]],
+                env=env, capture_output=True,
+            )
+            ok = (ref.returncode == ours.returncode == 0
+                  and ref.stdout == ours.stdout
+                  and open(ra, "rb").read() == open(ob, "rb").read())
+            if not ok:
+                fails += 1
+                print(f"FAIL trial {t} merge: rc {ref.returncode}/{ours.returncode}")
+            continue
         if flags == "qc":
             flags, paths = [], paths[:1]
+        elif isinstance(flags, str) and flags.startswith("pca"):
+            # synthetic rotation/center matching this cohort's site list
+            # (contents arbitrary: parity needs both tools to read the
+            # same files; tests/make_fixtures.py does the same)
+            with open(paths[0]) as fh:
+                ids = [ln.split("\t", 1)[0] for ln in fh
+                       if ln[0] != "#" and not ln.startswith("locusID")]
+            dims = int(rng.integers(2, 6))
+            rot = os.path.join(tmp, f"t{t}_rot.tsv")
+            cen = os.path.join(tmp, f"t{t}_center.txt")
+            with open(rot, "w") as fh:
+                fh.write("AlleleID\t" + "\t".join(map(str, range(dims))) + "\n")
+                for sid in ids:
+                    fh.write(sid + "\t" + "\t".join(
+                        f"{v:.17g}" for v in rng.normal(0, 0.3, dims)) + "\n")
+            with open(cen, "w") as fh:
+                for _ in ids:
+                    fh.write(f"{rng.random() * 0.9 + 0.05:.17g}\n")
+            flags = (["-a"] if flags == "pca-all" else []) + [
+                "-d", str(dims), "-p", rot, "-n", cen,
+            ]
         ref = subprocess.run(
             [ref_bin, "-t", "1", *flags, *paths], capture_output=True
         )

@@ -422,3 +422,27 @@ def test_corrupt_gzip_window_voiding_parity(rng, tmp_path):
         p = tmp_path / f"{name}.fq.gz"
         p.write_bytes(bytes(b2))
         _assert_same([str(p)], seglen=64)
+
+
+def test_zlib_fallback_stream(rng, tmp_path, monkeypatch):
+    """The decompressobj fallback (_ZlibRaw, used when libz can't be
+    dlopen'd) still parses clean and truncated gz; corrupt-member
+    exactness is only guaranteed on the _InflateRaw path."""
+    import ntsm_tpu.io.fastx as FX
+
+    monkeypatch.setattr(FX, "_libz", lambda: None)
+    import io as _io
+
+    blob_io = _io.BytesIO()
+    with gzip.GzipFile(fileobj=blob_io, mode="wb") as zf:
+        for i in range(50):
+            s = _rand_seq(rng, 90)
+            zf.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n".encode())
+    blob = blob_io.getvalue()
+    clean = tmp_path / "c.fq.gz"
+    clean.write_bytes(blob)
+    assert len(list(FX.read_fastx(str(clean)))) == 50
+    trunc = tmp_path / "t.fq.gz"
+    trunc.write_bytes(blob[: len(blob) // 2])
+    recs = list(FX.read_fastx(str(trunc)))
+    assert 0 < len(recs) < 50

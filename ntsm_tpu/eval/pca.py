@@ -134,7 +134,15 @@ def pca_candidates(cloud: np.ndarray, radii: np.ndarray, dim: int):
     """
     n = cloud.shape[0]
     c = cloud[:, :dim]
-    sq = ((c[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    # row-blocked (a-b)^2 accumulation: same per-coordinate arithmetic
+    # order as nanoflann's L2 accum (NOT the |a|^2+|b|^2-2ab matmul form,
+    # whose different rounding could flip borderline radius comparisons),
+    # without the [N, N, dim] transient (~1.6 GB at the N=3202 cohort)
+    sq = np.empty((n, n), dtype=np.float64)
+    BLK = 64
+    for r0 in range(0, n, BLK):
+        r1 = min(r0 + BLK, n)
+        sq[r0:r1] = ((c[r0:r1, None, :] - c[None, :, :]) ** 2).sum(axis=2)
     for i in range(n):
         if radii[i] < DBL_MAX:
             match = np.nonzero(sq[i] < radii[i])[0]

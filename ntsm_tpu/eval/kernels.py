@@ -1,0 +1,359 @@
+"""Device math for the TPU eval engine: genotype planes, indicator
+tally matmuls, compensated chunked accumulation, the joint-likelihood
+passes, and the -p pair-block kernel.
+
+Split out of eval/tpu.py (round 4); the drivers live there, the blob
+codec in eval/blob.py, the wire/upload path in eval/wire.py, row
+emission in eval/emit.py.  See eval/tpu.py's module docstring for the
+math derivation (indicator matmuls + the x²/t = x − x·y/t joint
+decomposition of CompareCounts.hpp:968-991,1013-1033).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+CHUNK = 256  # sites per f32 partial sum (1024 was 15% faster at N=768
+# but 7% slower at N=3202; 256 is the stable choice)
+ROW_TILE = 64  # pair-block rows per joint-pass invocation
+
+
+def _two_sum(hi, lo, p):
+    """Compensated (Knuth two-sum) f32-pair accumulation.
+
+    TPU f64 is software-emulated and a scan carrying an f64 accumulator ran
+    ~1000x slower than this (28 s vs 0.03 s for the same [N, C, c] sums on
+    v5e); the f32 hi/lo pair keeps ~2^-48 relative error, recombined in
+    real f64 on the host."""
+    s = hi + p
+    z = s - hi
+    e = (hi - (s - z)) + (p - z)
+    return s, lo + e
+
+
+def _chunked_matmul_f64(lhs, rhs):
+    """sum_c lhs[:, c, :] @ rhs[:, c, :].T with compensated accumulation.
+
+    lhs: [N, C, c] f32, rhs: [M, C, c] f32 -> (hi, lo) [N, M] f32 pair;
+    combine as hi.astype(f64) + lo.astype(f64) on the host.
+    """
+    N = lhs.shape[0]
+    M = rhs.shape[0]
+
+    def body(acc, xs):
+        lc, rc = xs  # [N, c], [M, c]
+        # HIGHEST: on TPU the default f32 matmul runs in bf16 passes, which
+        # rounds the (non-indicator) value planes; force full f32.
+        part = jnp.dot(
+            lc,
+            rc.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        hi, lo = acc
+        return _two_sum(hi, lo, part), None
+
+    z0 = jnp.zeros((N, M), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, (z0, z0), (jnp.swapaxes(lhs, 0, 1), jnp.swapaxes(rhs, 0, 1))
+    )
+    return acc
+
+
+def _make_joint_fn(min_cov: int):
+    mc = jnp.float32(min_cov)
+
+    @jax.jit
+    def joint_rows(ai, bi, vi, a, b, v):
+        """Joint accumulators (f32 hi/lo pairs) for a row tile:
+        ai/bi/vi [C, T, c]; a/b/v [C, N, c]."""
+        return _joint_tiles(ai, bi, vi, a, b, v, mc)
+
+    return joint_rows
+
+
+def _genotype_planes(x, y, mc, n_valid=None):
+    """Indicator planes + single-sample likelihood planes from two count
+    planes — the parity-critical construction (calcHomHetMiss +
+    computeSumLogPSingle, CompareCounts.hpp:742-768,968-991), shared by
+    the single-device and mesh-sharded engines.
+
+    n_valid (static) masks the chunk-alignment pad columns beyond the
+    real site count: their a = b = 0 rides the strict `> minCov` test
+    (CompareCounts.hpp:746), which only excludes them while mc >= 0 — a
+    negative -c would otherwise count every pad site as a valid n."""
+    px = x > mc
+    py = y > mc
+    if n_valid is not None and int(n_valid) < x.shape[-1]:
+        live = jnp.arange(x.shape[-1]) < n_valid
+        px &= live
+        py &= live
+    het = (px & py).astype(jnp.float32)
+    hom_at = (px & ~py).astype(jnp.float32)
+    hom_cg = (~px & py).astype(jnp.float32)
+    vall = (px | py).astype(jnp.float32)
+    s_int = jnp.where(px, x, 0.0) + jnp.where(py, y, 0.0)
+    tot = jnp.maximum(x + y, 1.0)
+    s_frac = (px.astype(jnp.float32) + py.astype(jnp.float32)) * (x * y) / tot
+    return het, hom_at, hom_cg, vall, s_int, s_frac
+
+
+def _tally_matmuls(het_l, hom_at_l, hom_cg_l, vall_l, het, hom_at, hom_cg, vall):
+    """The six [rows, N] indicator tallies (exact 0/1 f32 matmuls)."""
+    f32mm = lambda x, y: jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+    hom_l = hom_at_l + hom_cg_l
+    hom = hom_at + hom_cg
+    return dict(
+        n=f32mm(vall_l, vall),
+        shared_hets=f32mm(het_l, het),
+        shared_homs=f32mm(hom_at_l, hom_at) + f32mm(hom_cg_l, hom_cg),
+        ibs0=f32mm(hom_at_l, hom_cg) + f32mm(hom_cg_l, hom_at),
+        hets1=f32mm(het_l, vall),
+        homs1=f32mm(hom_l, vall),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "mc", "n_valid"))
+def _planes_and_tallies(a, b, *, mc: float, chunk: int, n_valid=None):
+    """Everything derivable from the two count planes, on device:
+    genotype indicator tallies (exact f32 matmuls of 0/1 planes),
+    the single-sample likelihood planes and their pair sums (s1), and the
+    chunked [C, N, c] layouts reused by the joint pass.
+
+    Moving this off the host matters twice over: the host is 1 core here
+    (f64 division over [N, L] was ~0.4 s per 16 samples), and the upload
+    drops from six [N, L] planes to the two count planes.
+    """
+    a = a.astype(jnp.float32)  # u16 wire widens here (no-op for f32)
+    b = b.astype(jnp.float32)
+    N, Lp = a.shape
+    C = Lp // chunk
+    # indicator matmuls: inputs are exactly 0/1, so even the TPU's default
+    # bf16 matmul passes are error-free; sums stay exact integers in f32
+    # while below 2^24 (n_sites << 2^24).
+    het, hom_at, hom_cg, vall, s_int, s_frac = _genotype_planes(
+        a, b, mc, n_valid
+    )
+    tallies = _tally_matmuls(
+        het, hom_at, hom_cg, vall, het, hom_at, hom_cg, vall
+    )
+
+    cshape = (N, C, chunk)
+    v_c = vall.reshape(cshape)
+    si_hi, si_lo = _chunked_matmul_f64(s_int.reshape(cshape), v_c)
+    sf_hi, sf_lo = _chunked_matmul_f64(s_frac.reshape(cshape), v_c)
+    s1 = (si_hi, si_lo, sf_hi, sf_lo)
+
+    # exact integer part of the joint term, MXU-bound (see _joint_int_matmuls)
+    jint = _joint_int_matmuls(a, b, vall, a, b, vall, mc, chunk)
+
+    a_t = jnp.swapaxes(a.reshape(cshape), 0, 1)  # [C, N, c]
+    b_t = jnp.swapaxes(b.reshape(cshape), 0, 1)
+    v_t = jnp.swapaxes(v_c, 0, 1)
+    return tallies, s1, jint, a_t, b_t, v_t
+
+
+def _joint_tiles(ai, bi, vi, a, b, v, mc):
+    """FRACTIONAL joint-likelihood accumulators for a row block:
+    ai/bi/vi [C, T, c] vs full [C, N, c] -> (hi, lo) [T, N] f32 pair.
+
+    The integer part of the joint term is NOT computed here — it
+    decomposes into indicator matmuls ([aa>mc]·aa = aa − Σ_{v≤mc} v·[aa=v])
+    evaluated exactly on the MXU by _joint_int_matmuls; only the
+    data-dependent fraction needs this O(N²·sites) elementwise pass."""
+    T = ai.shape[1]
+    N = a.shape[1]
+
+    def body(acc, xs):
+        aic, bic, vic, ac, bc, vc = xs
+        aa = aic[:, None, :] + ac[None, :, :]
+        bb = bic[:, None, :] + bc[None, :, :]
+        m = vic[:, None, :] * vc[None, :, :]
+        pa = aa > mc
+        pb = bb > mc
+        tot = jnp.maximum(aa + bb, 1.0)
+        nf = pa.astype(jnp.float32) + pb.astype(jnp.float32)
+        jfrac = ((nf * (aa * bb) / tot) * m).sum(-1)
+        fh, fl = acc
+        return _two_sum(fh, fl, jfrac), None
+
+    z0 = jnp.zeros((T, N), jnp.float32)
+    acc, _ = jax.lax.scan(body, (z0, z0), (ai, bi, vi, a, b, v))
+    return acc
+
+
+def _joint_int_matmuls(a_l, b_l, v_l, a_f, b_f, v_f, mc: float, chunk: int):
+    """Exact integer part of the joint term via chunked matmuls, for a row
+    block against the full cohort: [T, Lp] local planes vs [N, Lp] full.
+
+    jint(i,j) = Σ_s m·([aa>mc]·aa + [bb>mc]·bb), aa = a_i+a_j. With integer
+    counts, [aa>mc]·aa = aa − Σ_{v=1..t} v·[aa==v] where t = floor(mc), and
+    [aa==v] = Σ_w [a_i==w]·[a_j==v−w] — all separable products, so each
+    term is one compensated chunked matmul; values are integers, so the
+    result is exact.  Returns (hi, lo) f32 pair [T, N]."""
+    T, Lp = a_l.shape
+    N = a_f.shape[0]
+    C = Lp // chunk
+    t = int(np.floor(mc))
+
+    def cm(x, y):
+        return _chunked_matmul_f64(
+            x.reshape(x.shape[0], C, chunk), y.reshape(y.shape[0], C, chunk)
+        )
+
+    def acc(h1, l1, h2, l2):
+        h, l = _two_sum(h1, l1, h2)
+        return _two_sum(h, l, l2)
+
+    # row terms Σ (a_i+b_i)·m and column terms Σ (a_j+b_j)·m
+    hi, lo = cm((a_l + b_l) * v_l, v_f)
+    hi, lo = acc(hi, lo, *cm(v_l, (a_f + b_f) * v_f))
+
+    # corrections: − Σ_{v=1..t} v·[aa==v]·m (and same for bb); the −v scale
+    # rides the indicator plane so per-chunk partials stay exact f32
+    for pl_l, pl_f in ((a_l, a_f), (b_l, b_f)):
+        eq_l = [
+            (pl_l == jnp.float32(w)).astype(jnp.float32) * v_l
+            for w in range(t + 1)
+        ]
+        eq_f = [
+            (pl_f == jnp.float32(w)).astype(jnp.float32) * v_f
+            for w in range(t + 1)
+        ]
+        for v in range(1, t + 1):
+            for w in range(0, v + 1):
+                hi, lo = acc(
+                    hi, lo, *cm(eq_l[w] * jnp.float32(-v), eq_f[v - w])
+                )
+    return hi, lo
+
+
+def _joint_row_tile(a_d, b_d, v_t, r0: int, N: int):
+    """One ROW_TILE-wide slice of the chunked [C, N, c] planes, zero-padded
+    to the fixed tile width so every joint dispatch shares one compile."""
+    r1 = min(r0 + ROW_TILE, N)
+    ai = a_d[:, r0:r1]
+    bi = b_d[:, r0:r1]
+    vi = v_t[:, r0:r1]
+    if r1 - r0 < ROW_TILE:
+        padw = ((0, 0), (0, ROW_TILE - (r1 - r0)), (0, 0))
+        ai = jnp.pad(ai, padw)
+        bi = jnp.pad(bi, padw)
+        vi = jnp.pad(vi, padw)
+    return ai, bi, vi
+
+
+@functools.partial(jax.jit, static_argnames=("mc",))
+def _joint_frac_pallas(a_t, b_t, v_t, mc: float):
+    """[C, N, c] chunked planes -> full [N, N] fractional joint (hi, lo)
+    via the Pallas kernel (eval/pallas_joint.py)."""
+    from ntsm_tpu.eval.pallas_joint import joint_frac_full
+
+    def rows(x):  # [C, N, c] -> [N, Lp] in original site order
+        return jnp.swapaxes(x, 0, 1).reshape(x.shape[1], -1)
+
+    return joint_frac_full(rows(a_t), rows(b_t), rows(v_t), mc)
+
+
+PAIR_BLOCK = 4096  # candidate pairs per device invocation (-p path)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "mc", "n_valid"))
+def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int, n_valid=None):
+    """Per-pair statistics for one block of candidate pairs (-p path).
+
+    A/B: [N, Lp] f32 count planes; ii/jj: [P] int32 pair indices.  The
+    rows are gathered on device and every statistic reduces over sites
+    elementwise — no O(N²) matrix is formed, so scoring cost is
+    O(P · sites) for exactly the candidate pairs the kd-tree-equivalent
+    search produced (reference scores candidates one pair at a time,
+    CompareCounts.hpp:335-356).
+
+    Tallies are indicator sums (exact in f32 below 2^24); s1 and the
+    joint terms use the same per-chunk-f32 + two-sum accumulation as the
+    all-vs-all engine, so -p and -a device scores are identical for the
+    same pair.
+    """
+    mcf = jnp.float32(mc)
+    # gather on the (possibly u16) wire dtype, widen the gathered rows
+    a_i, b_i = A[ii].astype(jnp.float32), B[ii].astype(jnp.float32)
+    a_j, b_j = A[jj].astype(jnp.float32), B[jj].astype(jnp.float32)
+    het1, hat1, hcg1, val1, sint1, sfrac1 = _genotype_planes(
+        a_i, b_i, mcf, n_valid
+    )
+    het2, hat2, hcg2, val2, sint2, sfrac2 = _genotype_planes(
+        a_j, b_j, mcf, n_valid
+    )
+    m = val1 * val2
+
+    def isum(x):  # exact integer-valued f32 reduction
+        return x.sum(axis=1)
+
+    tallies = dict(
+        n=isum(m),
+        shared_hets=isum(het1 * het2),
+        shared_homs=isum(hat1 * hat2 + hcg1 * hcg2),
+        ibs0=isum(hat1 * hcg2 + hcg1 * hat2),
+        hets1=isum(het1 * val2),
+        homs1=isum((hat1 + hcg1) * val2),
+        hets2=isum(het2 * val1),
+        homs2=isum((hat2 + hcg2) * val1),
+    )
+
+    P, Lp = a_i.shape
+    C = Lp // chunk
+
+    def cview(x):
+        return jnp.swapaxes(x.reshape(P, C, chunk), 0, 1)  # [C, P, c]
+
+    def body(acc, xs):
+        ai_c, bi_c, aj_c, bj_c, m_c, s1_c = xs
+        aa = ai_c + aj_c
+        bb = bi_c + bj_c
+        paa = aa > mcf
+        pbb = bb > mcf
+        jint_p = ((jnp.where(paa, aa, 0.0) + jnp.where(pbb, bb, 0.0)) * m_c).sum(-1)
+        tot = jnp.maximum(aa + bb, 1.0)
+        nf = paa.astype(jnp.float32) + pbb.astype(jnp.float32)
+        jfrac_p = ((nf * (aa * bb) / tot) * m_c).sum(-1)
+        s1_p = (s1_c * m_c).sum(-1)
+        (jih, jil), (jfh, jfl), (s1h, s1l) = acc
+        return (
+            _two_sum(jih, jil, jint_p),
+            _two_sum(jfh, jfl, jfrac_p),
+            _two_sum(s1h, s1l, s1_p),
+        ), None
+
+    s1_plane = (sint1 - sfrac1) + (sint2 - sfrac2)
+    z = jnp.zeros((P,), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body,
+        ((z, z), (z, z), (z, z)),
+        (cview(a_i), cview(b_i), cview(a_j), cview(b_j), cview(m), cview(s1_plane)),
+    )
+    (jih, jil), (jfh, jfl), (s1h, s1l) = acc
+    # one [14, P] blob per block: a single device->host fetch instead of
+    # fourteen (each fetch on the tunneled runtime pays a fixed RTT)
+    return jnp.stack(
+        [
+            tallies["n"],
+            tallies["shared_hets"],
+            tallies["shared_homs"],
+            tallies["ibs0"],
+            tallies["hets1"],
+            tallies["homs1"],
+            tallies["hets2"],
+            tallies["homs2"],
+            jih,
+            jil,
+            jfh,
+            jfl,
+            s1h,
+            s1l,
+        ]
+    )

@@ -11,11 +11,19 @@ two measurement sessions.
 This settles it the only honest way on a time-varying link: ONE process,
 one warmup, then alternating 150bp/20kb dense runs back-to-back, several
 rounds, both orders.  Usage: python scripts/exp_ont_ab.py [mbases=100] [rounds=3]
+
+Caveat (advisor r3): the table holds random 38-bit values while read
+k-mers hash through the full 64-bit mixer, so true table hits are ~zero
+and the per-batch verify/scatter work for the 3-13K real hits is absent.
+Both A/B arms share the bias, so the no-ONT-penalty conclusion stands,
+but absolute Mbase/s here is slightly optimistic vs real site-dense data
+(bench_realistic.py plants real site k-mers and is the absolute number).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -48,7 +56,14 @@ def main() -> None:
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     rng = np.random.default_rng(7)
     d = tempfile.mkdtemp(prefix="ntsm_ontab_")
+    try:
+        _run(d, mbases, rounds, rng)
+    finally:
+        # ~400+ MB of FASTQ per documented run — don't leave it in /tmp
+        shutil.rmtree(d, ignore_errors=True)
 
+
+def _run(d: str, mbases: int, rounds: int, rng) -> None:
     from ntsm_tpu.count.engine import EngineConfig, run_count_v3
     from ntsm_tpu.io.sites import SiteTable
     from ntsm_tpu.options import Options

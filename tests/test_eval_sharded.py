@@ -85,12 +85,12 @@ def test_mesh_streamed_emission_matches_single_device(rng, monkeypatch):
 def test_mesh_packed_wide_tier_matches(rng, monkeypatch):
     """Force the wide (all-f32, hi=None) blob tier through the mesh
     packed path — real cohorts ride narrow; this pins the fallback."""
-    import ntsm_tpu.eval.tpu as T
+    import ntsm_tpu.eval.blob as B
 
     data = _data(rng, 9)
     opts = Options(all=True)
     single = compute_pair_stats_tpu(data, opts, packed=True)
-    monkeypatch.setattr(T, "NARROW_WIRE_MAX_SITES", 0)
+    monkeypatch.setattr(B, "NARROW_WIRE_MAX_SITES", 0)
     mesh = data_mesh(jax.devices()[:8])
     packed = compute_pair_stats_tpu(data, opts, mesh=mesh, packed=True)
     for key in ("n", "ibs0", "shared_hets", "hets2", "homs2"):

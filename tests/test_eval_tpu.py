@@ -389,11 +389,13 @@ def test_wide_wire_matches_narrow(data, monkeypatch):
     the narrow u16+highbit wire."""
     import ntsm_tpu.eval.tpu as T
 
+    import ntsm_tpu.eval.blob as B
+
     monkeypatch.setattr(T, "_auto_mesh", lambda: None)
     opts = Options(all=True, engine="tpu")
     narrow_out = io.StringIO()
     compute_score_all_tpu(data, opts, narrow_out)
-    monkeypatch.setattr(T, "NARROW_WIRE_MAX_SITES", 0)
+    monkeypatch.setattr(B, "NARROW_WIRE_MAX_SITES", 0)
     wide_out = io.StringIO()
     compute_score_all_tpu(data, opts, wide_out)
     assert wide_out.getvalue() == narrow_out.getvalue()

@@ -19,9 +19,9 @@ import jax.numpy as jnp
 from ntsm_tpu.eval.exact import DBL_MAX
 from ntsm_tpu.eval.kernels import (
     ROW_TILE,
+    _dd_sub,
     _joint_row_tile,
     _make_joint_fn,
-    _two_sum,
 )
 
 NARROW_WIRE_MAX_SITES = (1 << 17) - 1  # u16+highbit wire validity bound
@@ -55,10 +55,7 @@ def _pack_triangle(tallies, s1, jint, jfh, jfl, narrow: bool):
     g = lambda x: x.reshape(-1)[flat]  # noqa: E731
     gt = lambda x: x.reshape(-1)[tflat]  # noqa: E731
 
-    def dd_sub(h1, l1, h2, l2):
-        h, l = _two_sum(h1, l1, -h2)
-        return _two_sum(h, l, -l2)
-
+    dd_sub = _dd_sub
     si_hi, si_lo, sf_hi, sf_lo = s1
     jh, jl = dd_sub(g(jint[0]), g(jint[1]), g(jfh), g(jfl))
     s1ij = dd_sub(g(si_hi), g(si_lo), g(sf_hi), g(sf_lo))

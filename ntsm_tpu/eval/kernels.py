@@ -36,6 +36,14 @@ def _two_sum(hi, lo, p):
     return s, lo + e
 
 
+def _dd_sub(h1, l1, h2, l2):
+    """Compensated-pair subtraction (h1,l1) − (h2,l2): the exact op
+    sequence of the blob/rect packers — keep in sync (bitwise parity
+    between engines depends on it)."""
+    h, l = _two_sum(h1, l1, -h2)
+    return _two_sum(h, l, -l2)
+
+
 def _chunked_matmul_f64(lhs, rhs):
     """sum_c lhs[:, c, :] @ rhs[:, c, :].T with compensated accumulation.
 

@@ -1,0 +1,371 @@
+"""Blocked rectangular all-vs-all engine: the -a production path.
+
+The round-3 engine computed every statistic over the FULL [N, N] square
+(then gathered the i<j triangle), and its score phase could only start
+after the last count file was parsed and uploaded.  This engine fixes
+both (VERDICT r3 #1):
+
+* Work is decomposed into fixed-shape rectangles — a 128-row tile of
+  "j" samples against one 256-row uploaded block of "i" samples — so
+  only the i<j triangle of the O(N²·sites) joint fractional pass is
+  computed (the dominant device cost), and every shape is independent
+  of N: ONE kernel compile serves every cohort size (the old engine
+  recompiled _planes_and_tallies/_pack_triangle per N).
+
+* A row tile becomes dispatchable the moment its own 256-row block has
+  finished uploading — pairs (i, j), i < j are scorable once row j is
+  resident — so device scoring and the statistic fetch run DURING the
+  parse/upload phase.  End-to-end approaches max(load, score) + the
+  final format pass instead of load + score.
+
+Per-entry arithmetic reuses the exact kernels of the square engine
+(_genotype_planes / _chunked_matmul_f64 / _joint_int_matmuls /
+_joint_tiles and the _pack_triangle compensation order), so scores are
+bitwise-identical to the round-3 packed path and integer statistics
+remain exact.
+
+Reference being beaten: the OpenMP pair loop of computeScore,
+/root/reference/src/CompareCounts.hpp:591-624."""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ntsm_tpu.eval import blob as _blob
+from ntsm_tpu.eval.blob import _narrow_ints
+from ntsm_tpu.eval.kernels import (
+    CHUNK,
+    _chunked_matmul_f64,
+    _dd_sub,
+    _genotype_planes,
+    _joint_int_matmuls,
+    _joint_tiles,
+)
+
+ROWS = 128  # "j" rows per rect dispatch (half an upload block)
+COLS = 256  # "i" columns per rect dispatch (= the upload block rows)
+
+
+def _f32mm(x, y):
+    return jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mc", "chunk", "n_valid", "narrow")
+)
+def _rect_block_stats(ra, rb, r0, ca, cb, *, mc: float, chunk: int,
+                      n_valid, narrow: bool):
+    """Packed statistics for one [ROWS, COLS] rectangle of pairs.
+
+    ra/rb: [COLS, Lp] wire-dtype count planes of the row block (the
+    "j" samples); r0 (traced): 0 or ROWS — which half-tile; ca/cb:
+    [COLS, Lp] planes of the column block (the "i" samples).  Returns
+    the same (ll f32[2, ROWS, COLS], ints, hi) wire as _pack_triangle,
+    entry [., j − t0, i − k0] holding pair (i, j); invalid entries
+    (i ≥ j, pad rows) are computed but discarded by the host scatter.
+
+    Every constituent reuses the square engine's kernels on the rect
+    shapes, preserving per-entry op order — scores match the round-3
+    packed path bitwise, integer tallies are exact."""
+    Lp = ra.shape[1]
+    ra = jax.lax.dynamic_slice(ra, (r0, 0), (ROWS, Lp)).astype(jnp.float32)
+    rb = jax.lax.dynamic_slice(rb, (r0, 0), (ROWS, Lp)).astype(jnp.float32)
+    ca = ca.astype(jnp.float32)
+    cb = cb.astype(jnp.float32)
+    mcf = jnp.float32(mc)
+    het_r, hat_r, hcg_r, val_r, sint_r, sfrac_r = _genotype_planes(
+        ra, rb, mcf, n_valid
+    )
+    het_c, hat_c, hcg_c, val_c, sint_c, sfrac_c = _genotype_planes(
+        ca, cb, mcf, n_valid
+    )
+
+    # indicator tallies (exact 0/1 matmuls); both orientations — the row
+    # sample is the pair's j, the column sample its i
+    n = _f32mm(val_r, val_c)
+    shet = _f32mm(het_r, het_c)
+    shom = _f32mm(hat_r, hat_c) + _f32mm(hcg_r, hcg_c)
+    ibs0 = _f32mm(hat_r, hcg_c) + _f32mm(hcg_r, hat_c)
+    hets_row = _f32mm(het_r, val_c)  # hets2 (sample j)
+    homs_row = _f32mm(hat_r + hcg_r, val_c)
+    hets_col = _f32mm(val_r, het_c)  # hets1 (sample i)
+    homs_col = _f32mm(val_r, hat_c + hcg_c)
+
+    C = Lp // chunk
+    crow = (ROWS, C, chunk)
+    ccol = (COLS, C, chunk)
+    v_cc = val_c.reshape(ccol)
+    v_rc = val_r.reshape(crow)
+    # s1 sums over the pair mask, both orientations (compensated)
+    si_row = _chunked_matmul_f64(sint_r.reshape(crow), v_cc)
+    sf_row = _chunked_matmul_f64(sfrac_r.reshape(crow), v_cc)
+    si_col = _chunked_matmul_f64(v_rc, sint_c.reshape(ccol))
+    sf_col = _chunked_matmul_f64(v_rc, sfrac_c.reshape(ccol))
+
+    jih, jil = _joint_int_matmuls(ra, rb, val_r, ca, cb, val_c, mc, chunk)
+
+    sw = lambda x, s: jnp.swapaxes(x.reshape(s), 0, 1)  # noqa: E731
+    jfh, jfl = _joint_tiles(
+        sw(ra, crow), sw(rb, crow), sw(val_r, crow),
+        sw(ca, ccol), sw(cb, ccol), sw(val_c, ccol), mcf,
+    )
+
+    # fold to the ll pair with _pack_triangle's exact compensation order
+    jh, jl = _dd_sub(jih, jil, jfh, jfl)
+    s1ij = _dd_sub(si_col[0], si_col[1], sf_col[0], sf_col[1])
+    s1ji = _dd_sub(si_row[0], si_row[1], sf_row[0], sf_row[1])
+    dh, dl = _dd_sub(jh, jl, *s1ij)
+    dh, dl = _dd_sub(dh, dl, *s1ji)
+    ll = jnp.stack([-2.0 * dh, -2.0 * dl])
+    ints = jnp.stack(
+        [n, ibs0, shet, shom, hets_col, hets_row, homs_col, homs_row]
+    )
+    return _narrow_ints(ll, ints, narrow)
+
+
+class RectScorer:
+    """Incremental all-vs-all scorer: feed uploaded row blocks in order,
+    collect the packed per-pair statistic arrays at the end.
+
+    Threads: the caller (parse/upload loop) enqueues work; a dispatcher
+    thread issues rect kernels (absorbing the one-time jit compile
+    without stalling the parser); a fetch thread pulls results to host
+    and scatters them into the [*, P] pair arrays.  The bounded result
+    queue backpressures device-side output pile-up."""
+
+    def __init__(self, n_samples: int, n_sites: int, Lp: int, opts):
+        if Lp % CHUNK:
+            raise ValueError(f"Lp {Lp} not a multiple of CHUNK")
+        self.N = int(n_samples)
+        self.Lp = int(Lp)
+        self.n_sites = int(n_sites)
+        self.mc = float(opts.min_cov)
+        self.narrow = self.n_sites <= _blob.NARROW_WIRE_MAX_SITES
+        P = self.N * (self.N - 1) // 2
+        self.P = P
+        self.ll = np.zeros((2, P), np.float32)
+        if self.narrow:
+            self.lo = np.zeros((8, P), np.uint16)
+            self.hi = np.zeros(P, np.uint8)
+        else:
+            self.lo = np.zeros((8, P), np.float32)
+            self.hi = None
+        self.blocks: list[tuple] = []
+        self._staged: list[tuple] = []
+        self._staged_rows = 0
+        self._rows_seen = 0
+        self._work: queue.Queue = queue.Queue()
+        self._results: queue.Queue = queue.Queue(maxsize=4)
+        self._exc: list[BaseException] = []
+        self._dispatcher = threading.Thread(
+            target=self._dispatch_loop, daemon=True
+        )
+        self._fetcher = threading.Thread(target=self._fetch_loop, daemon=True)
+        self._dispatcher.start()
+        self._fetcher.start()
+
+    # -- feeding ---------------------------------------------------------
+    def add_rows(self, a_piece, b_piece) -> None:
+        """Append device plane pieces ([rows, Lp], wire dtype) in sample
+        order; whole 256-row blocks are cut and their row tiles enqueued."""
+        if self._exc:
+            return  # result() will raise; keep the parse loop alive
+        rows = a_piece.shape[0]
+        if rows == 0:
+            return
+        self._staged.append((a_piece, b_piece))
+        self._staged_rows += rows
+        self._rows_seen += rows
+        while self._staged_rows >= COLS:
+            self._cut_block(pad=False)
+
+    def finish_feed(self) -> None:
+        """No more rows: pad the tail block and enqueue the sentinel."""
+        if self._staged_rows > 0:
+            self._cut_block(pad=True)
+        self._work.put(None)
+
+    def _cut_block(self, pad: bool) -> None:
+        pieces_a = [p[0] for p in self._staged]
+        pieces_b = [p[1] for p in self._staged]
+        a = pieces_a[0] if len(pieces_a) == 1 else _concat_u16(pieces_a)
+        b = pieces_b[0] if len(pieces_b) == 1 else _concat_u16(pieces_b)
+        a = _to_u16(a)
+        b = _to_u16(b)
+        if a.shape[0] > COLS:
+            a, a_rest = a[:COLS], a[COLS:]
+            b, b_rest = b[:COLS], b[COLS:]
+            self._staged = [(a_rest, b_rest)]
+            self._staged_rows -= COLS
+        else:
+            if pad and a.shape[0] < COLS:
+                w = ((0, COLS - a.shape[0]), (0, 0))
+                a = jnp.pad(a, w)
+                b = jnp.pad(b, w)
+            self._staged = []
+            self._staged_rows = 0
+        bidx = len(self.blocks)
+        self.blocks.append((a, b))
+        # a block's arrival makes its two row tiles (and all pairs with
+        # earlier columns) scorable
+        for half in (0, 1):
+            t0 = bidx * COLS + half * ROWS
+            if t0 >= self.N:  # pure-pad tile: no pairs with j < N
+                continue
+            self._work.put((bidx, half))
+
+    # -- device / fetch workers -----------------------------------------
+    def _dispatch_loop(self) -> None:
+        try:
+            while True:
+                item = self._work.get()
+                if item is None:
+                    self._results.put(None)
+                    return
+                bidx, half = item
+                ra, rb = self.blocks[bidx]
+                r0 = half * ROWS
+                for k in range(bidx + 1):
+                    ca, cb = self.blocks[k]
+                    parts = _rect_block_stats(
+                        ra, rb, r0, ca, cb,
+                        mc=self.mc, chunk=CHUNK, n_valid=self.n_sites,
+                        narrow=self.narrow,
+                    )
+                    self._results.put((bidx * COLS + r0, k * COLS, parts))
+        except BaseException as e:  # noqa: BLE001
+            self._exc.append(e)
+            self._results.put(None)
+
+    def _fetch_loop(self) -> None:
+        try:
+            while True:
+                item = self._results.get()
+                if item is None:
+                    return
+                t0, k0, parts = item
+                ll, ints, hi = parts
+                self._scatter(
+                    t0, k0, np.asarray(ll), np.asarray(ints),
+                    None if hi is None else np.asarray(hi),
+                )
+        except BaseException as e:  # noqa: BLE001
+            self._exc.append(e)
+            # drain so the dispatcher never blocks on a full queue
+            while True:
+                try:
+                    if self._results.get_nowait() is None:
+                        return
+                except queue.Empty:
+                    return
+
+    def _scatter(self, t0: int, k0: int, ll, ints, hi) -> None:
+        """Scatter one fetched rect into the [*, P] triu-major arrays."""
+        N = self.N
+        jj = np.arange(t0, t0 + ROWS, dtype=np.int64)[:, None]
+        ii = np.arange(k0, k0 + COLS, dtype=np.int64)[None, :]
+        valid = (ii < jj) & (jj < N)
+        if not valid.any():
+            return
+        # triu-major pair index: p = i·N − i(i+1)/2 + (j − i − 1)
+        p = ii * N - (ii * (ii + 1)) // 2 + (jj - ii - 1)
+        pv = p[valid]
+        self.ll[:, pv] = ll[:, valid]
+        self.lo[:, pv] = ints[:, valid]
+        if self.hi is not None:
+            self.hi[pv] = hi[valid]
+
+    # -- completion ------------------------------------------------------
+    def result(self):
+        """Join the workers and return the (ll, ints, hi) pair arrays
+        (host numpy, triu-major — the _finalize_packed wire)."""
+        self._dispatcher.join()
+        self._fetcher.join()
+        if self._exc:
+            raise self._exc[0]
+        if self._rows_seen < self.N:
+            raise RuntimeError(
+                f"rect scorer fed {self._rows_seen} rows of {self.N}"
+            )
+        return self.ll, self.lo, self.hi
+
+    def abort(self) -> None:
+        """Unblock the workers on an error path (loader fallback or a
+        prepare() failure): no more feeding, results discarded."""
+        self._exc.append(RuntimeError("rect scorer aborted"))
+        self._work.put(None)
+
+
+def _to_u16(x):
+    """Normalize a wire block to u16 on device: one jit signature for
+    every cohort (u8 wires are the norm; f32 wide wires keep f32 — the
+    2^24 guard upstream makes their integers exact)."""
+    if x.dtype == jnp.uint8 or x.dtype == jnp.uint16:
+        return x.astype(jnp.uint16)
+    return x.astype(jnp.float32)
+
+
+def _concat_u16(pieces):
+    wide = any(p.dtype not in (jnp.uint8, jnp.uint16) for p in pieces)
+    dt = jnp.float32 if wide else jnp.uint16
+    return jnp.concatenate([p.astype(dt) for p in pieces], axis=0)
+
+
+def make_scorer_for_planes(data, opts, planes) -> RectScorer:
+    """A RectScorer fed from already-resident device planes (the plain
+    loader path): slices the [N, Lp] planes into 256-row blocks — the
+    same block structure as the streamed path, so output is
+    byte-identical either way."""
+    A, B = planes
+    N, Lp = A.shape
+    sc = RectScorer(data.n_samples, data.n_sites, Lp, opts)
+    for r0 in range(0, N, COLS):
+        r1 = min(r0 + COLS, N)
+        sc.add_rows(A[r0:r1], B[r0:r1])
+    sc.finish_feed()
+    return sc
+
+
+def stream_rect_rows(data, opts, out) -> None:
+    """All-vs-all emission through the rect engine: consume the scorer
+    attached by the streaming loader (scoring already ran during the
+    parse) or build one from the device planes, then finalize + format
+    in STREAM_PAIRS chunks (pure host work — the statistics are already
+    on this side of the link)."""
+    from ntsm_tpu.eval import tpu as _tpu
+    from ntsm_tpu.eval.blob import _finalize_packed
+    from ntsm_tpu.eval.emit import (
+        PAIR_COL_KEYS,
+        _emit_pair_chunk,
+        _sample_strings,
+    )
+    from ntsm_tpu.eval.wire import _device_planes
+
+    scorer = getattr(data, "rect_scorer", None)
+    if scorer is None:
+        scorer = make_scorer_for_planes(data, opts, _device_planes(data))
+    else:
+        data.rect_scorer = None  # consumed
+    ll, ints, hi = scorer.result()
+    N = data.n_samples
+    P = scorer.P
+    iu, ju = np.triu_indices(N, 1)
+    lib = _tpu._load_row_formatter()  # via the module: monkeypatchable
+    samp_w = _sample_strings(data) if lib is not None else None
+    step = _tpu.STREAM_PAIRS
+    for p0 in range(0, P, step):
+        p1 = min(p0 + step, P)
+        sl = slice(p0, p1)
+        buf = (ll[:, sl], ints[:, sl], None if hi is None else hi[sl])
+        chunk = _finalize_packed(data, opts, buf, iu[sl], ju[sl])
+        _emit_pair_chunk(
+            data, opts, out, iu[sl], ju[sl], chunk["score"],
+            [chunk[k] for k in PAIR_COL_KEYS], lib, samp_w,
+        )

@@ -205,7 +205,7 @@ def load_count_arrays(paths):
 
 
 def load_count_wires(paths, pad_to: int = 256, block_cb=None,
-                     block_rows: int = 256):
+                     block_rows: int = 256, meta_cb=None):
     """Wire-plane bulk loader: parses straight into the eval engine's
     padded u16 upload planes plus the integer accumulators that replace
     the full [N, L, 2] planes (ntsm_parse_counts3).
@@ -220,8 +220,11 @@ def load_count_wires(paths, pad_to: int = 256, block_cb=None,
     block_cb(s0, s1, wa_blk, wb_blk) is invoked after rows [s0, s1) are
     final (u16 row views into the planes, never rewritten afterwards),
     every block_rows samples — the eval engine uses it to overlap the
-    host->device plane upload with the parse.  On a None return (fallback)
-    the caller must discard whatever the callback consumed.
+    host->device plane upload with the parse.  meta_cb(L, N) fires once,
+    right after the first file fixes the locus count — the pipelined
+    scorer sizes itself from it before any block lands.  On a None
+    return (fallback) the caller must discard whatever the callbacks
+    consumed.
 
     Motivation: fresh multi-GB allocations first-touch at ~60 MB/s on this
     host (VM page-fault pathology, measured scripts/profile_eval_load.py);
@@ -264,6 +267,8 @@ def load_count_wires(paths, pad_to: int = 256, block_cb=None,
     locus_ids = blob0.decode("ascii").splitlines()
     L = n0
     N = len(paths)
+    if meta_cb is not None:
+        meta_cb(L, N)
     Lp = L + ((-L) % pad_to)
     wa = np.zeros((N, Lp), np.uint16)
     wb = np.zeros((N, Lp), np.uint16)

@@ -64,8 +64,11 @@ def test_mesh_packed_blob_matches_single_device(rng, n_samples):
 
 
 def test_mesh_streamed_emission_matches_single_device(rng, monkeypatch):
-    """compute_score_all_tpu over a mesh rides the same packed streaming
-    emission; its table must be byte-identical to the single-device one."""
+    """compute_score_all_tpu over a mesh vs the single-device rect
+    engine: every non-score column byte-identical, scores within the
+    engine's compensated-f32 envelope (the two paths block the matmuls
+    differently, so per-entry low bits may differ — the contract is
+    exact integer columns + identical classification, CLAUDE.md)."""
     import io
 
     import ntsm_tpu.eval.tpu as T
@@ -79,7 +82,17 @@ def test_mesh_streamed_emission_matches_single_device(rng, monkeypatch):
     monkeypatch.setattr(T, "_auto_mesh", lambda: mesh)
     sharded = io.StringIO()
     T.compute_score_all_tpu(data, opts, sharded)
-    assert sharded.getvalue() == single.getvalue()
+    sl = sharded.getvalue().splitlines()
+    gl = single.getvalue().splitlines()
+    assert len(sl) == len(gl)
+    assert sl[0] == gl[0]
+    for srow, grow in zip(sl[1:], gl[1:]):
+        sf, gf = srow.split("\t"), grow.split("\t")
+        assert sf[:2] == gf[:2]
+        assert sf[3:] == gf[3:]  # same/relate/ints/dist all byte-equal
+        # deep-count tiny cohort: the adversarial envelope is ~1.5e-5 abs
+        # (CLAUDE.md); random production-shape cohorts sit at ~5e-6
+        assert float(sf[2]) == pytest.approx(float(gf[2]), abs=2e-5)
 
 
 def test_mesh_packed_wide_tier_matches(rng, monkeypatch):

@@ -324,6 +324,7 @@ def run_count_v3(
     stop_evt = _threading.Event()
     sentinel = object()
     prod_err: list = []
+    wire_nbytes = [0]  # host->device bytes shipped (link-efficiency bench)
 
     def _qput(item) -> bool:
         while not stop_evt.is_set():
@@ -341,7 +342,9 @@ def run_count_v3(
         def flush() -> bool:
             if not staged:
                 return True
-            dev = jnp.asarray(np.stack([f for f, _ in staged]))
+            fused_np = np.stack([f for f, _ in staged])
+            wire_nbytes[0] += fused_np.nbytes
+            dev = jnp.asarray(fused_np)
             ok = all(_qput((dev[i], b)) for i, (_, b) in enumerate(staged))
             staged.clear()
             return ok
@@ -478,6 +481,7 @@ def run_count_v3(
         total_bases=total_bases,
         total_reads=total_reads,
         early_term=early,
+        wire_bytes=wire_nbytes[0],
     )
 
 

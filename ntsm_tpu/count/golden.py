@@ -26,6 +26,9 @@ class CountResult:
     total_bases: int  # all read bases, including non-ACGT
     total_reads: int
     early_term: bool
+    wire_bytes: int = 0  # host->device bytes actually shipped (device
+    # engines only; 0 for the golden oracle) — the numerator of the
+    # link-efficiency roofline (scripts/exp_link_ab.py)
 
     def site_max_sum(self, table: SiteTable):
         """Per-site, per-allele max and sum (FingerPrint.hpp:270-311)."""

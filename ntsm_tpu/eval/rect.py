@@ -141,8 +141,21 @@ class RectScorer:
     queue backpressures device-side output pile-up."""
 
     def __init__(self, n_samples: int, n_sites: int, Lp: int, opts):
+        import os
+        import time
+
         if Lp % CHUNK:
             raise ValueError(f"Lp {Lp} not a multiple of CHUNK")
+        # NTSM_RECT_TRACE=1: per-phase attribution for the score-phase
+        # roofline (VERDICT r3 #2) — dispatch idle/busy split, fetch
+        # bytes and wait, wall anchors.  One stderr line at result().
+        self._trace = bool(int(os.environ.get("NTSM_RECT_TRACE", "0")))
+        self._tr = dict(
+            t0=time.perf_counter(), t_feed_done=0.0, t_disp_done=0.0,
+            t_fetch_done=0.0, disp_idle=0.0, disp_issue=0.0,
+            fetch_wait=0.0, fetch_get=0.0, scatter=0.0, disp_bp=0.0,
+            n_rects=0, bytes_fetched=0,
+        )
         self.N = int(n_samples)
         self.Lp = int(Lp)
         self.n_sites = int(n_sites)
@@ -188,8 +201,11 @@ class RectScorer:
 
     def finish_feed(self) -> None:
         """No more rows: pad the tail block and enqueue the sentinel."""
+        import time
+
         if self._staged_rows > 0:
             self._cut_block(pad=True)
+        self._tr["t_feed_done"] = time.perf_counter()
         self._work.put(None)
 
     def _cut_block(self, pad: bool) -> None:
@@ -223,10 +239,16 @@ class RectScorer:
 
     # -- device / fetch workers -----------------------------------------
     def _dispatch_loop(self) -> None:
+        import time
+
+        tr = self._tr
         try:
             while True:
+                _t = time.perf_counter()
                 item = self._work.get()
+                tr["disp_idle"] += time.perf_counter() - _t
                 if item is None:
+                    tr["t_disp_done"] = time.perf_counter()
                     self._results.put(None)
                     return
                 bidx, half = item
@@ -234,28 +256,46 @@ class RectScorer:
                 r0 = half * ROWS
                 for k in range(bidx + 1):
                     ca, cb = self.blocks[k]
+                    _t = time.perf_counter()
                     parts = _rect_block_stats(
                         ra, rb, r0, ca, cb,
                         mc=self.mc, chunk=CHUNK, n_valid=self.n_sites,
                         narrow=self.narrow,
                     )
+                    tr["disp_issue"] += time.perf_counter() - _t
+                    tr["n_rects"] += 1
+                    _t = time.perf_counter()
                     self._results.put((bidx * COLS + r0, k * COLS, parts))
+                    tr["disp_bp"] += time.perf_counter() - _t
         except BaseException as e:  # noqa: BLE001
             self._exc.append(e)
             self._results.put(None)
 
     def _fetch_loop(self) -> None:
+        import time
+
+        tr = self._tr
         try:
             while True:
+                _t = time.perf_counter()
                 item = self._results.get()
+                tr["fetch_wait"] += time.perf_counter() - _t
                 if item is None:
+                    tr["t_fetch_done"] = time.perf_counter()
                     return
                 t0, k0, parts = item
                 ll, ints, hi = parts
-                self._scatter(
-                    t0, k0, np.asarray(ll), np.asarray(ints),
-                    None if hi is None else np.asarray(hi),
+                _t = time.perf_counter()
+                ll = np.asarray(ll)
+                ints = np.asarray(ints)
+                hi = None if hi is None else np.asarray(hi)
+                tr["fetch_get"] += time.perf_counter() - _t
+                tr["bytes_fetched"] += ll.nbytes + ints.nbytes + (
+                    0 if hi is None else hi.nbytes
                 )
+                _t = time.perf_counter()
+                self._scatter(t0, k0, ll, ints, hi)
+                tr["scatter"] += time.perf_counter() - _t
         except BaseException as e:  # noqa: BLE001
             self._exc.append(e)
             # drain so the dispatcher never blocks on a full queue
@@ -288,6 +328,27 @@ class RectScorer:
         (host numpy, triu-major — the _finalize_packed wire)."""
         self._dispatcher.join()
         self._fetcher.join()
+        if self._trace and not self._exc:
+            import sys
+
+            tr = self._tr
+            t0 = tr["t0"]
+            print(
+                "[rect trace] wall %.1f s (feed done +%.1f, dispatch done "
+                "+%.1f, fetch done +%.1f); %d rects; dispatch: idle %.1f / "
+                "issue %.1f / result-backpressure %.1f s; fetch: wait %.1f "
+                "/ device-get %.1f / scatter %.1f s; fetched %.1f MB "
+                "(%.2f MB/s over device-get time)"
+                % (
+                    tr["t_fetch_done"] - t0, tr["t_feed_done"] - t0,
+                    tr["t_disp_done"] - t0, tr["t_fetch_done"] - t0,
+                    tr["n_rects"], tr["disp_idle"], tr["disp_issue"],
+                    tr["disp_bp"], tr["fetch_wait"], tr["fetch_get"],
+                    tr["scatter"], tr["bytes_fetched"] / 1e6,
+                    tr["bytes_fetched"] / 1e6 / max(tr["fetch_get"], 1e-9),
+                ),
+                file=sys.stderr, flush=True,
+            )
         if self._exc:
             raise self._exc[0]
         if self._rows_seen < self.N:

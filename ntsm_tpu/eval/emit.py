@@ -8,7 +8,6 @@ from __future__ import annotations
 import numpy as np
 
 from ntsm_tpu.eval.exact import PairResult, Relate, results_row
-from ntsm_tpu.utils.formats import cpp_div
 
 # the _emit_pair_chunk cols order (also _triangle_vectors' return order)
 PAIR_COL_KEYS = (
@@ -31,25 +30,37 @@ def _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w,
                      dist=None):
     """Emit one block of all-vs-all rows from per-pair vectors — THE
     shared emission path (the exact engine's _emit_pairs delegates here).
+    Assembles the (f3, i9) column contract (relate/homConcord are the
+    same IEEE f64 divisions as the reference's per-row cpp_div) and
+    delegates to _emit_prepared.  dist is the -p path's per-pair f64
+    column or None for "-1"."""
+    f3, i9 = _pair_columns(sc, *cols)
+    _emit_prepared(data, opts, out, iu, ju, f3, i9, lib, samp_w, dist=dist)
+
+
+def _emit_prepared(data, opts, out, iu, ju, f3, i9, lib, samp_w, dist=None):
+    """Emit rows from prebuilt (f3 [P,3] f64, i9 [P,9] i64) column arrays
+    (the _pair_columns contract) — the rect engine finalizes into exactly
+    these during the load phase, so its end-of-run emission skips the
+    per-pair math entirely.
 
     Applies the -a / score-threshold filtering and the quirky `same`
     column semantics (CompareCounts.hpp:853-861), then formats through the
     native C formatter (~1 us/row — the Python path is ~10-50 us/row,
     minutes for an N=3202 cohort) or the per-row Python fallback.  Byte-
     identical both ways: float columns are glibc "%f"
-    (utils/formats.py:cpp_to_string) and relate/homConcord are the same
-    IEEE f64 divisions.  dist is the -p path's per-pair f64 column or
-    None for "-1"."""
+    (utils/formats.py:cpp_to_string)."""
     from ntsm_tpu.utils.formats import cpp_to_string
 
+    sc = f3[:, 0]
     if opts.all:
         same = np.where(
             sc < opts.score_thresh, ord("1"), ord("0")
         ).astype(np.uint8)
     else:
         keep = sc < opts.score_thresh
-        iu, ju, sc = iu[keep], ju[keep], sc[keep]
-        cols = [c[keep] for c in cols]
+        iu, ju, f3, i9 = iu[keep], ju[keep], f3[keep], i9[keep]
+        sc = f3[:, 0]
         if dist is not None:
             dist = dist[keep]
         # without -a only passing pairs print, hard-coded "1"
@@ -59,36 +70,29 @@ def _emit_pair_chunk(data, opts, out, iu, ju, sc, cols, lib, samp_w,
         return
 
     if lib is not None:
-        f3, i9 = _pair_columns(sc, *cols)
         ii = np.ascontiguousarray(iu.astype(np.int32))
         jj = np.ascontiguousarray(ju.astype(np.int32))
         dd = None if dist is None else np.ascontiguousarray(dist)
         _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dd, samp_w)
         return
 
-    ibs0, shet, shom, h1, h2, o1, o2, n = cols
     for p in range(P):
         r = Relate(
-            ibs0=int(ibs0[p]),
-            ibs2=int(shet[p] + shom[p]),
-            shared_homs=int(shom[p]),
-            shared_hets=int(shet[p]),
-            hets1=int(h1[p]),
-            homs1=int(o1[p]),
-            hets2=int(h2[p]),
-            homs2=int(o2[p]),
+            ibs0=int(i9[p, 0]),
+            ibs2=int(i9[p, 1]),
+            shared_homs=int(i9[p, 7]),
+            shared_hets=int(i9[p, 4]),
+            hets1=int(i9[p, 2]),
+            homs1=int(i9[p, 5]),
+            hets2=int(i9[p, 3]),
+            homs2=int(i9[p, 6]),
         )
-        r.hom_concord = cpp_div(
-            float(r.shared_homs) - 2.0 * float(r.ibs0),
-            float(min(r.homs1, r.homs2)),
-        )
-        r.relatedness = cpp_div(
-            float(r.shared_hets) - 2.0 * float(r.ibs0),
-            float(min(r.hets1, r.hets2)),
-        )
+        # same IEEE divisions as cpp_div on these operands
+        r.hom_concord = float(f3[p, 2])
+        r.relatedness = float(f3[p, 1])
         res = PairResult(
             i=int(iu[p]), j=int(ju[p]), score=float(sc[p]),
-            n=int(n[p]), relate=r,
+            n=int(i9[p, 8]), relate=r,
         )
         d = "-1" if dist is None else cpp_to_string(float(dist[p]))
         out.write(results_row(data, res, d, opts))

@@ -51,6 +51,10 @@ from ntsm_tpu.eval.kernels import (
 
 ROWS = 128  # "j" rows per rect dispatch (half an upload block)
 COLS = 256  # "i" columns per rect dispatch (= the upload block rows)
+BATCH = 8  # rects stacked per device->host fetch (the tunnel charges a
+# ~150 ms fixed cost per transfer: per-rect fetches were 546 RTTs for
+# 149 MB at N=3202 — RTT-bound at ~1.5 MB/s effective.  Stacking BATCH
+# rects device-side cuts that to ~3 calls per BATCH.)
 
 
 def _f32mm(x, y):
@@ -132,13 +136,15 @@ def _rect_block_stats(ra, rb, r0, ca, cb, *, mc: float, chunk: int,
 
 class RectScorer:
     """Incremental all-vs-all scorer: feed uploaded row blocks in order,
-    collect the packed per-pair statistic arrays at the end.
+    collect the FINALIZED per-pair column arrays at the end.
 
     Threads: the caller (parse/upload loop) enqueues work; a dispatcher
     thread issues rect kernels (absorbing the one-time jit compile
-    without stalling the parser); a fetch thread pulls results to host
-    and scatters them into the [*, P] pair arrays.  The bounded result
-    queue backpressures device-side output pile-up."""
+    without stalling the parser) and stacks BATCH results per fetch; a
+    fetch thread pulls each stacked batch to host, runs the
+    cov-independent per-pair finalization, and scatters the (f3, i9)
+    emission columns.  The bounded result queue backpressures device-side
+    output pile-up."""
 
     def __init__(self, n_samples: int, n_sites: int, Lp: int, opts):
         import os
@@ -160,16 +166,19 @@ class RectScorer:
         self.Lp = int(Lp)
         self.n_sites = int(n_sites)
         self.mc = float(opts.min_cov)
+        self._cov_skew = float(opts.cov_skew)
         self.narrow = self.n_sites <= _blob.NARROW_WIRE_MAX_SITES
         P = self.N * (self.N - 1) // 2
         self.P = P
-        self.ll = np.zeros((2, P), np.float32)
-        if self.narrow:
-            self.lo = np.zeros((8, P), np.uint16)
-            self.hi = np.zeros(P, np.uint8)
-        else:
-            self.lo = np.zeros((8, P), np.float32)
-            self.hi = None
+        # finalized per-pair columns (the _pair_columns / native-formatter
+        # contract), filled by the fetch thread as rects land — the
+        # end-of-run phase is pure formatting.  f3[:, 0] holds the raw
+        # loglik until result() applies the cov-skew score transform (cov
+        # isn't fully known until the last file parses).  np.zeros is
+        # calloc-lazy, so the ~0.5 GB first-touch cost at cohort scale is
+        # paid by the scatter writes, overlapped with the load phase.
+        self.f3 = np.zeros((P, 3), np.float64)
+        self.i9 = np.zeros((P, 9), np.int64)
         self.blocks: list[tuple] = []
         self._staged: list[tuple] = []
         self._staged_rows = 0
@@ -242,12 +251,30 @@ class RectScorer:
         import time
 
         tr = self._tr
+        pend: list[tuple] = []  # [(t0, k0, (ll, ints, hi)), ...]
+
+        def flush() -> None:
+            if not pend:
+                return
+            metas = [(t0, k0) for t0, k0, _ in pend]
+            lls = jnp.stack([p[0] for _, _, p in pend])
+            ints = jnp.stack([p[1] for _, _, p in pend])
+            his = (
+                None if pend[0][2][2] is None
+                else jnp.stack([p[2] for _, _, p in pend])
+            )
+            pend.clear()
+            _t = time.perf_counter()
+            self._results.put((metas, lls, ints, his))
+            tr["disp_bp"] += time.perf_counter() - _t
+
         try:
             while True:
                 _t = time.perf_counter()
                 item = self._work.get()
                 tr["disp_idle"] += time.perf_counter() - _t
                 if item is None:
+                    flush()
                     tr["t_disp_done"] = time.perf_counter()
                     self._results.put(None)
                     return
@@ -264,9 +291,9 @@ class RectScorer:
                     )
                     tr["disp_issue"] += time.perf_counter() - _t
                     tr["n_rects"] += 1
-                    _t = time.perf_counter()
-                    self._results.put((bidx * COLS + r0, k * COLS, parts))
-                    tr["disp_bp"] += time.perf_counter() - _t
+                    pend.append((bidx * COLS + r0, k * COLS, parts))
+                    if len(pend) == BATCH:
+                        flush()
         except BaseException as e:  # noqa: BLE001
             self._exc.append(e)
             self._results.put(None)
@@ -283,18 +310,21 @@ class RectScorer:
                 if item is None:
                     tr["t_fetch_done"] = time.perf_counter()
                     return
-                t0, k0, parts = item
-                ll, ints, hi = parts
+                metas, lls, ints, his = item
                 _t = time.perf_counter()
-                ll = np.asarray(ll)
+                lls = np.asarray(lls)
                 ints = np.asarray(ints)
-                hi = None if hi is None else np.asarray(hi)
+                his = None if his is None else np.asarray(his)
                 tr["fetch_get"] += time.perf_counter() - _t
-                tr["bytes_fetched"] += ll.nbytes + ints.nbytes + (
-                    0 if hi is None else hi.nbytes
+                tr["bytes_fetched"] += lls.nbytes + ints.nbytes + (
+                    0 if his is None else his.nbytes
                 )
                 _t = time.perf_counter()
-                self._scatter(t0, k0, ll, ints, hi)
+                for x, (t0, k0) in enumerate(metas):
+                    self._finalize_scatter(
+                        t0, k0, lls[x], ints[x],
+                        None if his is None else his[x],
+                    )
                 tr["scatter"] += time.perf_counter() - _t
         except BaseException as e:  # noqa: BLE001
             self._exc.append(e)
@@ -306,8 +336,15 @@ class RectScorer:
                 except queue.Empty:
                     return
 
-    def _scatter(self, t0: int, k0: int, ll, ints, hi) -> None:
-        """Scatter one fetched rect into the [*, P] triu-major arrays."""
+    def _finalize_scatter(self, t0: int, k0: int, ll, ints, hi) -> None:
+        """Finalize one fetched rect's pairs into the [P, 3]/[P, 9]
+        column arrays: unpack the wire, combine the compensated loglik in
+        f64, and run the cov-independent column math (_pair_columns).
+        Per-pair arithmetic is identical to the end-of-run
+        _finalize_packed path it replaces (all elementwise ops)."""
+        from ntsm_tpu.eval.blob import _unpack_blob
+        from ntsm_tpu.eval.emit import _pair_columns
+
         N = self.N
         jj = np.arange(t0, t0 + ROWS, dtype=np.int64)[:, None]
         ii = np.arange(k0, k0 + COLS, dtype=np.int64)[None, :]
@@ -317,15 +354,26 @@ class RectScorer:
         # triu-major pair index: p = i·N − i(i+1)/2 + (j − i − 1)
         p = ii * N - (ii * (ii + 1)) // 2 + (jj - ii - 1)
         pv = p[valid]
-        self.ll[:, pv] = ll[:, valid]
-        self.lo[:, pv] = ints[:, valid]
-        if self.hi is not None:
-            self.hi[pv] = hi[valid]
+        llp, iv = _unpack_blob(
+            ll[:, valid], ints[:, valid],
+            None if hi is None else hi[valid],
+        )
+        lls = llp[0].astype(np.float64) + llp[1].astype(np.float64)
+        # f3[:, 0] gets the RAW loglik; result() applies the skew/score
+        # transform once cov is complete
+        f3c, i9c = _pair_columns(
+            lls, iv[1], iv[2], iv[3], iv[4], iv[5], iv[6], iv[7], iv[0]
+        )
+        self.f3[pv] = f3c
+        self.i9[pv] = i9c
 
     # -- completion ------------------------------------------------------
-    def result(self):
-        """Join the workers and return the (ll, ints, hi) pair arrays
-        (host numpy, triu-major — the _finalize_packed wire)."""
+    def result(self, cov: np.ndarray):
+        """Join the workers, apply the cov-skew score transform (same op
+        order as _finalize_packed: CompareCounts.hpp:1093-1099 loglik,
+        then /(cov_i·cov_j)^skew /max(n,1), DBL_MAX where n==0) and
+        return the finalized (f3 [P, 3], i9 [P, 9]) column arrays in
+        triu-major pair order — the _emit_prepared contract."""
         self._dispatcher.join()
         self._fetcher.join()
         if self._trace and not self._exc:
@@ -355,7 +403,17 @@ class RectScorer:
             raise RuntimeError(
                 f"rect scorer fed {self._rows_seen} rows of {self.N}"
             )
-        return self.ll, self.lo, self.hi
+        from ntsm_tpu.eval.exact import DBL_MAX
+
+        iu, ju = np.triu_indices(self.N, 1)
+        cov = np.asarray(cov, dtype=np.float64)
+        n = self.i9[:, 8]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            skewed = self.f3[:, 0] / (cov[iu] * cov[ju]) ** self._cov_skew
+            self.f3[:, 0] = np.where(
+                n > 0, skewed / np.maximum(n, 1.0), DBL_MAX
+            )
+        return self.f3, self.i9
 
     def abort(self) -> None:
         """Unblock the workers on an error path (loader fallback or a
@@ -396,37 +454,34 @@ def make_scorer_for_planes(data, opts, planes) -> RectScorer:
 
 def stream_rect_rows(data, opts, out) -> None:
     """All-vs-all emission through the rect engine: consume the scorer
-    attached by the streaming loader (scoring already ran during the
-    parse) or build one from the device planes, then finalize + format
-    in STREAM_PAIRS chunks (pure host work — the statistics are already
-    on this side of the link)."""
+    attached by the streaming loader (scoring AND per-pair finalization
+    already ran during the parse) or build one from the device planes,
+    then apply the score transform and format — the only end-of-run host
+    math is the [P] skew pass and the native row formatting."""
     from ntsm_tpu.eval import tpu as _tpu
-    from ntsm_tpu.eval.blob import _finalize_packed
-    from ntsm_tpu.eval.emit import (
-        PAIR_COL_KEYS,
-        _emit_pair_chunk,
-        _sample_strings,
-    )
+    from ntsm_tpu.eval.emit import _emit_prepared, _sample_strings
     from ntsm_tpu.eval.wire import _device_planes
+
+    import time
 
     scorer = getattr(data, "rect_scorer", None)
     if scorer is None:
         scorer = make_scorer_for_planes(data, opts, _device_planes(data))
     else:
         data.rect_scorer = None  # consumed
-    ll, ints, hi = scorer.result()
-    N = data.n_samples
-    P = scorer.P
-    iu, ju = np.triu_indices(N, 1)
+    t0 = time.perf_counter()
+    f3, i9 = scorer.result(data.cov)
+    t_result = time.perf_counter() - t0
+    iu, ju = np.triu_indices(data.n_samples, 1)
     lib = _tpu._load_row_formatter()  # via the module: monkeypatchable
     samp_w = _sample_strings(data) if lib is not None else None
-    step = _tpu.STREAM_PAIRS
-    for p0 in range(0, P, step):
-        p1 = min(p0 + step, P)
-        sl = slice(p0, p1)
-        buf = (ll[:, sl], ints[:, sl], None if hi is None else hi[sl])
-        chunk = _finalize_packed(data, opts, buf, iu[sl], ju[sl])
-        _emit_pair_chunk(
-            data, opts, out, iu[sl], ju[sl], chunk["score"],
-            [chunk[k] for k in PAIR_COL_KEYS], lib, samp_w,
+    t0 = time.perf_counter()
+    _emit_prepared(data, opts, out, iu, ju, f3, i9, lib, samp_w)
+    if scorer._trace:
+        import sys
+
+        print(
+            "[rect trace] tail: result(join+score transform) %.1f s, "
+            "emit %.1f s" % (t_result, time.perf_counter() - t0),
+            file=sys.stderr, flush=True,
         )

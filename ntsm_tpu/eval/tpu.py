@@ -246,20 +246,36 @@ def _stream_packed_rows(data: CountData, opts: Options, out, mesh=None) -> None:
     `mesh` the blob is packed from the row-sharded stat planes
     (_pack_mesh_blob) — same wire, same streaming.  Without a mesh the
     rect engine takes over: blocked i<j-only scoring that overlaps the
-    load phase when the streaming loader attached a scorer
-    (eval/rect.py)."""
+    load phase when the streaming loader attached a scorer (eval/rect.py).
+    NTSM_EVAL_SQUARE=1 forces the legacy square single-device blob path
+    (one [N, N] pass, recompiles per N) — kept for same-link A/B
+    measurement against the rect engine."""
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
     N = data.n_samples
     if mesh is None:
-        from ntsm_tpu.eval.rect import stream_rect_rows
+        if os.environ.get("NTSM_EVAL_SQUARE", "0") in ("", "0"):
+            from ntsm_tpu.eval.rect import stream_rect_rows
 
-        stream_rect_rows(data, opts, out)
-        return
-    tallies_m, s1_m, joint_m = _mesh_stat_planes(data, opts, mesh)
-    parts = _replicate_tree(
-        mesh, _pack_mesh_blob(tallies_m, s1_m, joint_m, N, data.n_sites)
-    )
+            stream_rect_rows(data, opts, out)
+            return
+        sc = getattr(data, "rect_scorer", None)
+        if sc is not None:  # attached before the env check could apply
+            sc.abort()
+            data.rect_scorer = None
+        tallies_d, s1_d, jint_d, a_d, b_d, v_t = _planes_and_tallies(
+            *_device_planes(data),
+            mc=float(opts.min_cov), chunk=CHUNK, n_valid=data.n_sites,
+        )
+        parts = _blob_from_planes(
+            tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, data.n_sites
+        )
+    else:
+        tallies_m, s1_m, joint_m = _mesh_stat_planes(data, opts, mesh)
+        parts = _replicate_tree(
+            mesh, _pack_mesh_blob(tallies_m, s1_m, joint_m, N, data.n_sites)
+        )
     P = (N * (N - 1)) // 2
     iu, ju = np.triu_indices(N, 1)
     lib = _load_row_formatter()

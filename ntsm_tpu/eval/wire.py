@@ -214,10 +214,14 @@ def load_count_data_eval(paths, opts: Options):
     # parse, so pair scoring and the statistic fetch overlap the load
     # phase (VERDICT r3 #1).  -p runs skip it (they score candidate
     # pairs, not all-vs-all).
+    import os
+
     holder: dict = {}
     meta = None
     blk_cb = None
-    if not getattr(opts, "pca", None):
+    if not getattr(opts, "pca", None) and os.environ.get(
+        "NTSM_EVAL_SQUARE", "0"
+    ) in ("", "0"):
         from ntsm_tpu.eval.rect import CHUNK as _RC
         from ntsm_tpu.eval.rect import RectScorer
 

@@ -43,13 +43,15 @@ def test_rect_multi_block_matches_exact(rng, monkeypatch):
     data = _cohort(rng, N, L)
     opts = Options(all=True, genome_size=1_000_000)
     sc = make_scorer_for_planes(data, opts, _device_planes(data))
-    ll, ints, hi = sc.result()
+    f3, i9 = sc.result(data.cov)
     assert sc.P == N * (N - 1) // 2
 
-    from ntsm_tpu.eval.blob import _finalize_packed
-
     iu, ju = np.triu_indices(N, 1)
-    stats = _finalize_packed(data, opts, (ll, ints, hi), iu, ju)
+    # i9 column order: [ibs0, ibs2, h1, h2, shet, o1, o2, shom, n]
+    stats = dict(
+        score=f3[:, 0], ibs0=i9[:, 0], hets1=i9[:, 2], hets2=i9[:, 3],
+        shared_hets=i9[:, 4], homs2=i9[:, 6], n=i9[:, 8],
+    )
     # probe pairs straddling every boundary class: same tile, same block
     # across tiles, across blocks, last (padded) tile, first/last pair
     probes = [(0, 1), (0, 299), (100, 140), (127, 128), (200, 260),

@@ -184,6 +184,13 @@ def _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dist, samp_w=None):
     CHROWS = 131072
     cap = min(P, CHROWS) * 384 + 8192
     buf = np.empty(cap, dtype=np.uint8)
+    # write the formatted bytes straight to the binary layer when the
+    # sink has one: the TSV at N=3202 is ~900 MB, and routing it through
+    # the text layer costs a utf-8 decode + re-encode + extra copy
+    # (StringIO and text sinks without .buffer keep the decode path)
+    raw = getattr(out, "buffer", None)
+    if raw is not None:
+        out.flush()  # anything buffered in the text layer goes first
     vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
     for c0 in range(0, P, CHROWS):
         c1 = min(c0 + CHROWS, P)
@@ -201,4 +208,7 @@ def _emit_rows_native(lib, data, out, ii, jj, f3, i9, same, dist, samp_w=None):
                 break
             # pathological rows (e.g. DBL_MAX scores print 316 chars/field)
             buf = np.empty(buf.shape[0] * 4, dtype=np.uint8)
-        out.write(buf[:nb].tobytes().decode("utf-8"))
+        if raw is not None:
+            raw.write(memoryview(buf[:nb]))
+        else:
+            out.write(buf[:nb].tobytes().decode("utf-8"))

@@ -135,7 +135,12 @@ def _upload_wires_streaming(paths, block_rows: int = 256, block_cb=None,
     ex = ThreadPoolExecutor(1)
 
     def _put(blk: np.ndarray):
-        x = blk.astype(np.uint8) if int(blk.max()) < 256 else blk
+        # loader planes are already u8-tiered; the astype only runs for
+        # u16 blocks that happen to fit (avoids a fresh-page cast per
+        # block — slow on this VM, see load_count_wires)
+        x = blk
+        if blk.dtype != np.uint8 and int(blk.max()) < 256:
+            x = blk.astype(np.uint8)
         d = jnp.asarray(x)
         # real backpressure: one in-flight transfer at a time (deep
         # upload queues trip the tunnel client's inflight throttle)

@@ -207,10 +207,11 @@ def load_count_arrays(paths):
 def load_count_wires(paths, pad_to: int = 256, block_cb=None,
                      block_rows: int = 256, meta_cb=None):
     """Wire-plane bulk loader: parses straight into the eval engine's
-    padded u16 upload planes plus the integer accumulators that replace
-    the full [N, L, 2] planes (ntsm_parse_counts3).
+    padded u8 upload planes (u16 after escalation — see _store) plus the
+    integer accumulators that replace the full [N, L, 2] planes
+    (ntsm_parse_counts3).
 
-    Returns (locus_ids, distinct [L,2] i64, wa [N,Lp] u16, wb [N,Lp] u16,
+    Returns (locus_ids, distinct [L,2] i64, wa [N,Lp] u8|u16, wb same,
     site_acc [L,4] i64 (mcAT, mcCG, sumAT, sumCG summed over samples),
     samp_mc [N] i64, samp_sum [N] i64, tks [N] i64, kss [N] i64), or None
     when the native library is absent, any count exceeds u16, or any file
@@ -270,15 +271,37 @@ def load_count_wires(paths, pad_to: int = 256, block_cb=None,
     if meta_cb is not None:
         meta_cb(L, N)
     Lp = L + ((-L) % pad_to)
-    wa = np.zeros((N, Lp), np.uint16)
-    wb = np.zeros((N, Lp), np.uint16)
+    # Parse into u16 per-file scratch rows, store into u8 planes (the
+    # wire tier real coverage depths always hit), escalating the whole
+    # plane to u16 on the first count >= 256.  The previous shape —
+    # parse into [N, Lp] u16 planes, then one astype(u8) at the end —
+    # faulted 1.85 GB of fresh pages at the N=3202 cohort; fresh-page
+    # faults on this VM run at a time-varying 20-60 MB/s (measured 44 s
+    # JUST for the final casts), so the loader allocates the 0.6 GB u8
+    # planes once and nothing else at O(N·L).
+    wa = np.zeros((N, Lp), np.uint8)
+    wb = np.zeros((N, Lp), np.uint8)
+    row_a = np.zeros(Lp, np.uint16)
+    row_b = np.zeros(Lp, np.uint16)
     site_acc = np.zeros((L, 4), np.int64)
     samp_mc = np.zeros(N, np.int64)
     samp_sum = np.zeros(N, np.int64)
     tks = np.zeros(N, np.int64)
     kss = np.zeros(N, np.int64)
-    wa[0, :L] = wa0[:L]
-    wb[0, :L] = wb0[:L]
+
+    def _store(s, ra, rb):
+        nonlocal wa, wb
+        if wa.dtype == np.uint8 and (
+            int(ra[:L].max(initial=0)) > 255 or int(rb[:L].max(initial=0)) > 255
+        ):
+            # u16 escalation (values unchanged — blocks already handed to
+            # block_cb stay valid u8 views; the device concat widens)
+            wa = wa.astype(np.uint16)
+            wb = wb.astype(np.uint16)
+        wa[s, :L] = ra[:L]
+        wb[s, :L] = rb[:L]
+
+    _store(0, wa0, wb0)
     site_acc += acc0[:L]
     samp_mc[0], samp_sum[0] = samp
     tks[0], kss[0] = tk.value, ks.value
@@ -300,7 +323,7 @@ def load_count_wires(paths, pad_to: int = 256, block_cb=None,
         if ids.shape[0] < idcap:
             ids = _scratch["ids"] = np.empty(idcap + cap, dtype=np.uint8)
         r = lib.ntsm_parse_counts3(
-            buf, ctypes.c_long(len(buf)), vp(wa[s]), vp(wb[s]), vp(site_acc),
+            buf, ctypes.c_long(len(buf)), vp(row_a), vp(row_b), vp(site_acc),
             vp(samp), None, ctypes.c_long(L), vp(ids),
             ctypes.c_long(ids.shape[0]), ctypes.byref(ids_len),
             ctypes.byref(tk), ctypes.byref(ks),
@@ -314,14 +337,10 @@ def load_count_wires(paths, pad_to: int = 256, block_cb=None,
             # accumulators are poisoned — the caller falls back to the
             # plane loaders, which handle id-remapping exactly
             return None
+        _store(s, row_a, row_b)
         samp_mc[s], samp_sum[s] = samp
         tks[s], kss[s] = tk.value, ks.value
         _maybe_cb(s + 1)
-    if int(wa.max()) < 256 and int(wb.max()) < 256:
-        # u8 wire tier: real coverage depths keep site max-counts well
-        # under 256, halving the (upload-dominated) plane bytes again
-        wa = wa.astype(np.uint8)
-        wb = wb.astype(np.uint8)
     return (
         locus_ids, dist[:L].copy(), wa, wb, site_acc, samp_mc, samp_sum,
         tks, kss,

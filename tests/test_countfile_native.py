@@ -154,3 +154,54 @@ def test_bulk_loader_roundtrip(tmp_path):
         np.testing.assert_array_equal(mc[s], want[s])
         np.testing.assert_array_equal(sc[s], want[s] * 13)
     assert tks.tolist() == [1000, 1001, 1002]
+
+
+def _wire_cohort(tmp_path, rows_per_sample):
+    """Write count files from explicit [L, 2] max-count arrays."""
+    ids = [f"rs{i}" for i in range(len(rows_per_sample[0]))]
+    paths = []
+    for s, mx in enumerate(rows_per_sample):
+        mx = np.asarray(mx)
+        text = countfile.format_counts(
+            ids, mx, mx * 3, np.full((mx.shape[0], 2), 9), 500 + s, 19
+        )
+        p = tmp_path / f"w{s}.txt"
+        p.write_text(text)
+        paths.append(str(p))
+    return ids, paths
+
+
+def test_wire_loader_u8_tier(tmp_path):
+    """All counts < 256 -> the wire planes ride the u8 tier."""
+    rng = np.random.default_rng(5)
+    rows = [rng.integers(0, 200, size=(9, 2)) for _ in range(3)]
+    ids, paths = _wire_cohort(tmp_path, rows)
+    wires = countfile.load_count_wires(paths)
+    if wires is None:
+        pytest.skip("native wire loader unavailable")
+    locus_ids, _, wa, wb, *_ = wires
+    assert locus_ids == ids
+    assert wa.dtype == np.uint8 and wb.dtype == np.uint8
+    for s, mx in enumerate(rows):
+        np.testing.assert_array_equal(wa[s, :9], mx[:, 0])
+        np.testing.assert_array_equal(wb[s, :9], mx[:, 1])
+
+
+def test_wire_loader_u16_escalation_mid_parse(tmp_path):
+    """A count >= 256 in a LATER file escalates the whole plane to u16
+    with earlier rows preserved exactly (the loader parses into u8 and
+    widens on first overflow — load_count_wires._store)."""
+    rng = np.random.default_rng(6)
+    rows = [rng.integers(0, 200, size=(9, 2)) for _ in range(3)]
+    rows[2] = rows[2].copy()
+    rows[2][4, 1] = 41_000  # second allele plane, third file
+    ids, paths = _wire_cohort(tmp_path, rows)
+    wires = countfile.load_count_wires(paths)
+    if wires is None:
+        pytest.skip("native wire loader unavailable")
+    _, _, wa, wb, *_ = wires
+    assert wa.dtype == np.uint16 and wb.dtype == np.uint16
+    for s, mx in enumerate(rows):
+        np.testing.assert_array_equal(wa[s, :9], mx[:, 0])
+        np.testing.assert_array_equal(wb[s, :9], mx[:, 1])
+    assert int(wb[2, 4]) == 41_000

@@ -25,35 +25,69 @@ from ntsm_tpu.options import Options
 DBL_MAX = np.finfo(np.float64).max
 
 
+_ARTIFACT_CACHE: dict = {}
+
+
+def _cached(path: str, build):
+    """Parse-once cache for the PCA artifacts, keyed by (path, size,
+    mtime): the -p profile and the f64-parity gate both project twice,
+    and the rotation matrix alone is ~1.9M strtold tokens."""
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    hit = _ARTIFACT_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    val = build()
+    _ARTIFACT_CACHE[path] = (key, val)
+    return val
+
+
 def load_norm_values(path: str) -> np.ndarray:
     """Per-site centering values, parsed as long double (:121-134)."""
-    vals = []
-    with open(path) as fh:
-        for line in fh:
-            line = line.strip()
-            if line:
-                vals.append(np.longdouble(line))
-            else:
-                # `ss >> value` on an empty line leaves value uninitialized;
-                # the reference still push_backs.  Blank lines don't occur in
-                # real center files; treat as 0.
-                vals.append(np.longdouble(0))
-    return np.array(vals, dtype=np.longdouble)
+
+    def build():
+        vals = []
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    vals.append(line)
+                else:
+                    # `ss >> value` on an empty line leaves value
+                    # uninitialized; the reference still push_backs.  Blank
+                    # lines don't occur in real center files; treat as 0.
+                    vals.append("0")
+        # one C strtold per token (same parse as per-token np.longdouble)
+        return np.array(vals, dtype=np.longdouble)
+
+    return _cached(path, build)
 
 
 def load_rotation(path: str, n_sites: int) -> np.ndarray:
     """Rotation matrix TSV: header row, then rsID + components per site
     (:136-170).  Returns [n_components, n_sites] longdouble."""
-    with open(path) as fh:
-        header = fh.readline().split()
-        comp_num = len(header) - 1
-        rows = []
-        for line in fh:
-            parts = line.split()
-            if not parts:
-                continue
-            rows.append([np.longdouble(x) for x in parts[1 : comp_num + 1]])
-    rot = np.array(rows, dtype=np.longdouble).T  # [comp, sites]
+
+    def build():
+        with open(path) as fh:
+            header = fh.readline().split()
+            comp_num = len(header) - 1
+            toks: list = []
+            nrows = 0
+            for line in fh:
+                parts = line.split()
+                if not parts:
+                    continue
+                toks.extend(parts[1 : comp_num + 1])
+                nrows += 1
+        # [comp, sites]; one C strtold per token instead of a Python
+        # np.longdouble() call each (~1.9M tokens at the human scale)
+        return np.array(toks, dtype=np.longdouble).reshape(
+            nrows, comp_num
+        ).T
+
+    rot = _cached(path, build)
     if rot.shape[1] != n_sites:
         raise AssertionError(
             f"rotation matrix rows ({rot.shape[1]}) != norm sites ({n_sites})"
@@ -61,41 +95,88 @@ def load_rotation(path: str, n_sites: int) -> np.ndarray:
     return rot
 
 
-def quantized_genotype(data: CountData, opts: Options) -> np.ndarray:
-    """[N, L] float64 quantized genotype fraction, 0 where missing (:173-199)."""
-    a, b = data.counts_ab()
-    mc = opts.min_cov
-    ca = np.where(a > mc, a, 0).astype(np.float64)
-    cb = np.where(b > mc, b, 0).astype(np.float64)
-    den = ca + cb
-    with np.errstate(divide="ignore", invalid="ignore"):
-        g = np.where(den > 0, ca / np.where(den > 0, den, 1.0), 0.0)
-    q = np.where(g - 0.25 < 0.0, 0.0, np.where(g - 0.75 < 0.0, 0.5, 1.0))
-    return q, den > 0
+_PROJ_BLK = 128  # projection row block (buffers ~0.6 GB at the human scale)
 
 
 def project_pcs(data: CountData, opts: Options, fast: bool | None = None) -> np.ndarray:
-    """[N, dim] float64 PCA cloud, matching projectPCs' arithmetic.
+    """[N, dim] float64 PCA cloud, matching projectPCs' arithmetic
+    (:173-210): per site the genotype fraction AT/(AT+CG) is quantized to
+    {0, 0.5, 1} (thresholds 0.25/0.75 via the reference's g-0.25/g-0.75
+    sign tests), missing sites stay exactly 0.0 (not 0 - center,
+    :189-191), the center is subtracted and the row is rotated.
 
     fast=True computes in f64 (BLAS) instead of numpy's software
-    long-double loops: 0.09 s vs 3.7 s per 512 samples on this host, with
-    ~2e-15 relative difference (tier thresholds are integers, so candidate
-    sets are unaffected in practice).  Defaults to the engine selection:
-    the exact engine keeps long double for bit parity of the dist column."""
+    long-double loops; cloud agreement measured 2.9e-15 max abs at the
+    [3202, 96287] production shape with IDENTICAL candidate sets
+    (scripts/profile_pca.py).  Defaults to the engine selection: the
+    exact engine keeps long double for bit parity of the dist column.
+
+    Row-blocked into preallocated scratch buffers: the whole-matrix form
+    materialized ~13 GB of fresh [N, L] f64 temporaries at cohort scale,
+    and fresh pages fault at a time-varying 20-60 MB/s on this VM
+    (project_f64 measured 465 s at N=3202; see load_count_wires for the
+    same pathology).  Blocking reuses ~0.6 GB of warm buffers; per-row
+    arithmetic (and the per-element k-order of the long-double matmul)
+    is unchanged, so results are bitwise identical either way."""
     if fast is None:
         fast = getattr(opts, "engine", "exact") == "tpu"
     norm = load_norm_values(opts.norm)
     rot = load_rotation(opts.pca, norm.shape[0])
     if opts.dim > rot.shape[0]:
         raise AssertionError("opt::dim exceeds component count (:155)")
-    q, present = quantized_genotype(data, opts)
+    a, b = data.counts_ab()
+    N, L = a.shape
+    dim = opts.dim
+    mc = opts.min_cov
+    rotT = rot[:dim].T  # [L, dim]
     if fast:
-        vals64 = np.where(present, q - norm.astype(np.float64)[None, :], 0.0)
-        return vals64 @ rot[: opts.dim].T.astype(np.float64)
-    # missing values stay exactly 0.0 (not 0 - center): :189-191
-    vals = np.where(present, q.astype(np.longdouble) - norm[None, :], 0.0)
-    # inner products in extended precision, cast per reference's double acc
-    cloud = (vals @ rot[: opts.dim].T).astype(np.float64)
+        rotT = rotT.astype(np.float64)
+        normv = norm.astype(np.float64)
+    else:
+        normv = norm
+    cloud = np.empty((N, dim), np.float64)
+    blk = min(N, _PROJ_BLK)
+    ca, cb, den, g = (np.zeros((blk, L), np.float64) for _ in range(4))
+    vals = np.zeros((blk, L), np.float64 if fast else np.longdouble)
+    keep, low = (np.zeros((blk, L), bool) for _ in range(2))
+    for r0 in range(0, N, blk):
+        r1 = min(r0 + blk, N)
+        m = r1 - r0
+        cam, cbm, denm, gm = ca[:m], cb[:m], den[:m], g[:m]
+        valsm, keepm, lowm = vals[:m], keep[:m], low[:m]
+        ab, bb = a[r0:r1], b[r0:r1]
+        # ca/cb = where(count > mc, count, 0) as f64 (exact small ints)
+        np.copyto(cam, ab)
+        np.greater(ab, mc, out=keepm)
+        cam *= keepm
+        np.copyto(cbm, bb)
+        np.greater(bb, mc, out=keepm)
+        cbm *= keepm
+        np.add(cam, cbm, out=denm)
+        # g = ca / den where den > 0 else 0; den is integer-valued, so
+        # max(den, 1) selects the same divisor as where(den > 0, den, 1)
+        # and 0/1 lands the same 0.0 on missing sites
+        np.maximum(denm, 1.0, out=gm)
+        np.divide(cam, gm, out=gm)
+        # q thresholds, reference sign-test form (g-0.25 < 0, g-0.75 < 0)
+        qm = cam  # reuse: ca is dead from here on
+        qm.fill(1.0)
+        np.subtract(gm, 0.75, out=cbm)
+        np.less(cbm, 0.0, out=lowm)
+        np.copyto(qm, 0.5, where=lowm)
+        np.subtract(gm, 0.25, out=cbm)
+        np.less(cbm, 0.0, out=lowm)
+        np.copyto(qm, 0.0, where=lowm)
+        # vals = q - center where present, exactly 0.0 where missing
+        np.subtract(qm, normv[None, :], out=valsm)
+        np.equal(denm, 0.0, out=lowm)
+        np.copyto(valsm, 0.0, where=lowm)
+        if fast:
+            np.matmul(valsm, rotT, out=cloud[r0:r1])
+        else:
+            # extended-precision inner products, cast per the reference's
+            # double accumulator
+            cloud[r0:r1] = (valsm @ rotT).astype(np.float64)
     return cloud
 
 

@@ -101,6 +101,7 @@ from ntsm_tpu.options import Options
 from ntsm_tpu.utils.formats import cpp_div  # noqa: F401
 
 STREAM_PAIRS = 1 << 20  # packed-blob pairs per fetch chunk (~25 MB narrow)
+PCA_FETCH_GROUP = 16  # -p pair blocks stacked per device->host fetch
 
 
 def _auto_mesh():
@@ -337,27 +338,41 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
         )
         return ii, jj, P, dev
 
-    # one-block pipeline: block k+1 is dispatched (device computes) and
-    # fetched (on the worker thread) while the host finalizes and formats
-    # block k — the same fetch/format overlap as the -a streamed path
-    def _fetch(dev):
-        return np.asarray(dev).astype(np.float64)
+    # grouped pipeline: dispatch PCA_FETCH_GROUP pair blocks, stack their
+    # [14, PAIR_BLOCK] blobs device-side, fetch ONE stacked array per
+    # group on the worker thread while the host finalizes and formats the
+    # previous group.  Per-fetch RTT on the tunnel is ~0.2-0.5 s; at
+    # N=3202 the candidate set is ~1000 blocks, so per-block fetches cost
+    # ~200 s of pure round-trips (measured, scripts/profile_pca.py) —
+    # grouping cuts the transfer count ~16x at 3.7 MB per fetch.
+    def _dispatch_group(g0: int):
+        metas, devs = [], []
+        end = min(g0 + PCA_FETCH_GROUP * PAIR_BLOCK, len(pairs))
+        for blk0 in range(g0, end, PAIR_BLOCK):
+            ii, jj, P, dev = _dispatch(blk0)
+            metas.append((ii, jj, P))
+            devs.append(dev)
+        return metas, jnp.stack(devs)
 
+    def _fetch(stacked):
+        return np.asarray(stacked).astype(np.float64)
+
+    group_step = PCA_FETCH_GROUP * PAIR_BLOCK
     fetch_ex = ThreadPoolExecutor(1)
     try:
-        pend = _dispatch(0)
-        fut = fetch_ex.submit(_fetch, pend[3])
-        for blk0 in range(0, len(pairs), PAIR_BLOCK):
-            ii, jj, P, _ = pend
-            blob_fut = fut
-            if blk0 + PAIR_BLOCK < len(pairs):
-                pend = _dispatch(blk0 + PAIR_BLOCK)
-                fut = fetch_ex.submit(_fetch, pend[3])
-            blob = blob_fut.result()
-            _emit_pca_block(
-                data, opts, out, cov, emit_native, samp_cache, cloud,
-                ii, jj, P, blob,
-            )
+        metas, stacked = _dispatch_group(0)
+        fut = fetch_ex.submit(_fetch, stacked)
+        for g0 in range(0, len(pairs), group_step):
+            cur_metas, blob_fut = metas, fut
+            if g0 + group_step < len(pairs):
+                metas, stacked = _dispatch_group(g0 + group_step)
+                fut = fetch_ex.submit(_fetch, stacked)
+            blobs = blob_fut.result()
+            for x, (ii, jj, P) in enumerate(cur_metas):
+                _emit_pca_block(
+                    data, opts, out, cov, emit_native, samp_cache, cloud,
+                    ii, jj, P, blobs[x],
+                )
     finally:
         fetch_ex.shutdown(wait=True)
 

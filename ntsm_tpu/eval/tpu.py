@@ -324,19 +324,29 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # ONE upload of the whole candidate index list (padded to a block
+    # multiple); blocks slice it device-side.  Per-block jnp.asarray of
+    # the 16 KB ii/jj arrays cost a ~50 ms round trip each — ~100 s of
+    # pure upload latency at the N=3202 candidate count.
+    n_pairs_all = len(pairs)
+    ii_all = np.fromiter((p[0] for p in pairs), np.int32, n_pairs_all)
+    jj_all = np.fromiter((p[1] for p in pairs), np.int32, n_pairs_all)
+    pad = (-n_pairs_all) % PAIR_BLOCK
+    ii_dev = jnp.asarray(
+        np.pad(ii_all, (0, pad), constant_values=int(ii_all[0]))
+    )
+    jj_dev = jnp.asarray(
+        np.pad(jj_all, (0, pad), constant_values=int(jj_all[0]))
+    )
+
     def _dispatch(blk0: int):
-        blk = pairs[blk0 : blk0 + PAIR_BLOCK]
-        P = len(blk)
-        ii = np.fromiter((p[0] for p in blk), np.int32, P)
-        jj = np.fromiter((p[1] for p in blk), np.int32, P)
-        if P < PAIR_BLOCK:  # pad for a single compiled shape
-            ii = np.pad(ii, (0, PAIR_BLOCK - P), constant_values=ii[0])
-            jj = np.pad(jj, (0, PAIR_BLOCK - P), constant_values=jj[0])
+        P = min(PAIR_BLOCK, n_pairs_all - blk0)
         dev = _pair_block_stats(
-            A, B, jnp.asarray(ii), jnp.asarray(jj),
+            A, B, ii_dev[blk0 : blk0 + PAIR_BLOCK],
+            jj_dev[blk0 : blk0 + PAIR_BLOCK],
             mc=float(opts.min_cov), chunk=CHUNK, n_valid=data.n_sites,
         )
-        return ii, jj, P, dev
+        return ii_all[blk0 : blk0 + P], jj_all[blk0 : blk0 + P], P, dev
 
     # grouped pipeline: dispatch PCA_FETCH_GROUP pair blocks, stack their
     # [14, PAIR_BLOCK] blobs device-side, fetch ONE stacked array per

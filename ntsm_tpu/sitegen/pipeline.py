@@ -242,6 +242,94 @@ def indel_neighbors(kmer: bytes, k: int):
     )
 
 
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+
+
+def _revcomp_batch(x: np.ndarray, klen: int) -> np.ndarray:
+    """Reverse-complement of [*] u64 2-bit encodings, vectorized: reverse
+    the 2-bit groups (pair swap, nibble swap, byte swap), right-align to
+    2·klen bits, complement.  Matches the rv accumulation of
+    _canon_of_codes bit for bit (unit-pinned in tests)."""
+    v = ((x >> np.uint64(2)) & _M2) | ((x & _M2) << np.uint64(2))
+    v = ((v >> np.uint64(4)) & _M4) | ((v & _M4) << np.uint64(4))
+    v = v.byteswap()
+    v >>= np.uint64(64 - 2 * klen)
+    return v ^ np.uint64(kmer_mask(klen))
+
+
+def _sub_neighbor_block(fw: np.ndarray, rv: np.ndarray, k: int) -> np.ndarray:
+    """[m] fw/rv encodings -> [m, 3k] canonical substitution neighbors.
+
+    A substitution of delta d (= old_code ^ new_code) at position p flips
+    bits 2(k-1-p) of fw and 2p of rv (the complement of a delta is the
+    same delta), so each neighbor costs three vector ops instead of a
+    Python re-encode — the per-k-mer form (one_mismatch_neighbors) is the
+    oracle this is tested against."""
+    m = fw.shape[0]
+    out = np.empty((m, 3 * k), np.uint64)
+    col = 0
+    for p in range(k):
+        sf = np.uint64(2 * (k - 1 - p))
+        sr = np.uint64(2 * p)
+        for d in (1, 2, 3):
+            nf = fw ^ (np.uint64(d) << sf)
+            nr = rv ^ (np.uint64(d) << sr)
+            np.minimum(nf, nr, out=out[:, col])
+            col += 1
+    return out
+
+
+def _del_neighbor_block(fw: np.ndarray, k: int) -> np.ndarray:
+    """[m] fw encodings -> [m, k] canonical single-deletion (k-1)-mers."""
+    m = fw.shape[0]
+    out = np.empty((m, k), np.uint64)
+    for p in range(k):
+        low = fw & np.uint64((1 << (2 * (k - 1 - p))) - 1)
+        high = (fw >> np.uint64(2 * (k - p))) << np.uint64(2 * (k - 1 - p))
+        d = high | low
+        np.minimum(d, _revcomp_batch(d, k - 1), out=out[:, p])
+    return out
+
+
+def _ins_neighbor_block(fw: np.ndarray, k: int) -> np.ndarray:
+    """[m] fw encodings -> [m, 4(k+1)] canonical single-insertion
+    (k+1)-mers."""
+    m = fw.shape[0]
+    out = np.empty((m, 4 * (k + 1)), np.uint64)
+    col = 0
+    for p in range(k + 1):
+        low = fw & np.uint64((1 << (2 * (k - p))) - 1)
+        high = (fw >> np.uint64(2 * (k - p))) << np.uint64(2 * (k - p + 1))
+        for b in range(4):
+            v = high | (np.uint64(b) << np.uint64(2 * (k - p))) | low
+            np.minimum(v, _revcomp_batch(v, k + 1), out=out[:, col])
+            col += 1
+    return out
+
+
+def _row_dedup_mask(blk: np.ndarray) -> np.ndarray:
+    """Sort each row of blk IN PLACE and return the first-occurrence
+    mask (the per-row set semantics of the per-k-mer oracles)."""
+    blk.sort(axis=1)
+    mask = np.ones(blk.shape, bool)
+    mask[:, 1:] = blk[:, 1:] != blk[:, :-1]
+    return mask
+
+
+def _lookup_counts(sorted_codes, counts, q):
+    """counts for each code in q ([m, W]) against the sorted global
+    table; absent codes count 0."""
+    pos = np.searchsorted(sorted_codes, q.ravel())
+    np.minimum(pos, sorted_codes.shape[0] - 1, out=pos)
+    c = counts[pos]
+    c[sorted_codes[pos] != q.ravel()] = 0
+    return c.reshape(q.shape)
+
+
+_SLAB = 1 << 18  # k-mers per vectorized neighbor slab (~bounds scratch)
+
+
 def filter_unique(
     sites: list[SiteCandidate],
     ref_path: str,
@@ -283,33 +371,59 @@ def filter_unique(
     if not all_kmers:
         return
     uniq_kmers = sorted(set(all_kmers))
-    enc_of = {km: int(canonical_codes(km, k)[0]) for km in uniq_kmers}
-    cand = np.unique(np.array(list(enc_of.values()), dtype=np.uint64))
-    counts = genome_kmer_counts(ref_path, cand, k)
-    count_of = dict(zip(cand.tolist(), counts.tolist()))
+    M = len(uniq_kmers)
+    # fw/rv encodings of every unique sub-k-mer at once (the windows are
+    # clean ACGT, so every code is valid)
+    base = encode_bytes(b"".join(uniq_kmers)).reshape(M, k)
+    fw = np.zeros(M, np.uint64)
+    for j in range(k):
+        fw = (fw << np.uint64(2)) | base[:, j].astype(np.uint64)
+    rv = _revcomp_batch(fw, k)
+    self_canon = np.minimum(fw, rv)
 
-    exact_hits: dict[bytes, int] = {km: count_of[enc_of[km]] for km in uniq_kmers}
-    total_hits = dict(exact_hits)
+    cand = np.unique(self_canon)
+    counts = genome_kmer_counts(ref_path, cand, k)
+    exact = counts[np.searchsorted(cand, self_canon)].astype(np.int64)
+    total = exact.copy()
+
+    # The neighborhoods are generated twice (collect-unique pass, then
+    # count pass) in _SLAB-bounded batches: regeneration is ~vector ops,
+    # while retaining [M, 3k..4(k+1)] u64 arrays would be GBs of fresh
+    # pages (slow on this VM) — the per-k-mer set/dict form of round 3
+    # was ~hours at the 96,287-site scale.
+    def _sweep(block_fn, klen, exclude_self):
+        parts = [
+            np.unique(block_fn(s0))
+            for s0 in range(0, M, _SLAB)
+        ]
+        allc = np.unique(np.concatenate(parts))
+        ccounts = genome_kmer_counts(ref_path, allc, klen)
+        sums = np.empty(M, np.int64)
+        for s0 in range(0, M, _SLAB):
+            s1 = min(s0 + _SLAB, M)
+            blk = block_fn(s0)
+            mask = _row_dedup_mask(blk)
+            if exclude_self:
+                mask &= blk != self_canon[s0:s1, None]
+            c = _lookup_counts(allc, ccounts, blk)
+            c *= mask
+            sums[s0:s1] = c.sum(axis=1)
+        return sums
+
     if mismatch:
-        neigh_sets = {km: one_mismatch_neighbors(km, k) for km in uniq_kmers}
-        all_neigh = np.unique(np.concatenate(list(neigh_sets.values())))
-        ncounts = genome_kmer_counts(ref_path, all_neigh, k)
-        ncount_of = dict(zip(all_neigh.tolist(), ncounts.tolist()))
-        for km, ns in neigh_sets.items():
-            total_hits[km] += sum(ncount_of[int(x)] for x in ns)
+        total += _sweep(
+            lambda s0: _sub_neighbor_block(
+                fw[s0 : s0 + _SLAB], rv[s0 : s0 + _SLAB], k
+            ),
+            k, exclude_self=True,
+        )
     if mismatch and indel:
-        ind_sets = {km: indel_neighbors(km, k) for km in uniq_kmers}
-        del_all = np.unique(np.concatenate([d for d, _ in ind_sets.values()]))
-        ins_all = np.unique(np.concatenate([i for _, i in ind_sets.values()]))
-        dcounts = genome_kmer_counts(ref_path, del_all, k - 1)
-        icounts = genome_kmer_counts(ref_path, ins_all, k + 1)
-        dcount_of = dict(zip(del_all.tolist(), dcounts.tolist()))
-        icount_of = dict(zip(ins_all.tolist(), icounts.tolist()))
-        for km, (ds, ins) in ind_sets.items():
-            e = exact_hits[km]
-            dh = sum(dcount_of[int(x)] for x in ds)
-            ih = sum(icount_of[int(x)] for x in ins)
-            total_hits[km] += max(0, dh - 2 * e) + max(0, ih - 2 * e)
+        dh = _sweep(lambda s0: _del_neighbor_block(fw[s0 : s0 + _SLAB], k),
+                    k - 1, exclude_self=False)
+        ih = _sweep(lambda s0: _ins_neighbor_block(fw[s0 : s0 + _SLAB], k),
+                    k + 1, exclude_self=False)
+        total += np.maximum(0, dh - 2 * exact) + np.maximum(0, ih - 2 * exact)
+    total_hits = dict(zip(uniq_kmers, total.tolist()))
 
     dropped = 0
     for site in sites:

@@ -251,3 +251,50 @@ def test_indel_self_overlap_keeps_clean_kmers(rng, tmp_path):
             for p, km in pre[s.snp_id][attr]:
                 want = oracle_loci(genome_b, km) == 1
                 assert (p in kept) == want, (s.snp_id, attr, p)
+
+
+def test_vectorized_neighbor_blocks_match_per_kmer_oracles():
+    """The batched bit-trick neighbor generators (_sub/_del/_ins blocks +
+    _revcomp_batch) must reproduce the per-k-mer oracle functions' sets
+    exactly, including canonicalization, for random k-mers at k=19 and an
+    even/odd pair of small ks."""
+    import numpy as np
+
+    from ntsm_tpu.sitegen.pipeline import (
+        _canon_of_codes,
+        _del_neighbor_block,
+        _ins_neighbor_block,
+        _revcomp_batch,
+        _sub_neighbor_block,
+        indel_neighbors,
+        one_mismatch_neighbors,
+    )
+    from ntsm_tpu.core.encode import encode_bytes
+
+    rng = np.random.default_rng(17)
+    alpha = np.array(list(b"ACGT"), np.uint8)
+    for k in (5, 19):
+        kmers = [alpha[rng.integers(0, 4, size=k)].tobytes() for _ in range(40)]
+        base = encode_bytes(b"".join(kmers)).reshape(len(kmers), k)
+        fw = np.zeros(len(kmers), np.uint64)
+        for j in range(k):
+            fw = (fw << np.uint64(2)) | base[:, j].astype(np.uint64)
+        rv = _revcomp_batch(fw, k)
+        # revcomp primitive vs the oracle's rv accumulation
+        for i, km in enumerate(kmers):
+            codes = encode_bytes(km).astype(np.int64)
+            rv_ref = 0
+            for j in range(k):
+                rv_ref |= (3 ^ int(codes[j])) << (2 * j)
+            assert int(rv[i]) == rv_ref, km
+        subs = _sub_neighbor_block(fw, rv, k)
+        dels = _del_neighbor_block(fw, k)
+        inss = _ins_neighbor_block(fw, k)
+        self_canon = np.minimum(fw, rv)
+        for i, km in enumerate(kmers):
+            want = set(one_mismatch_neighbors(km, k).tolist())
+            got = set(subs[i].tolist()) - {int(self_canon[i])}
+            assert got == want, (km, "sub")
+            dref, iref = indel_neighbors(km, k)
+            assert set(dels[i].tolist()) == set(dref.tolist()), (km, "del")
+            assert set(inss[i].tolist()) == set(iref.tolist()), (km, "ins")

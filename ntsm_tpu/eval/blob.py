@@ -3,9 +3,14 @@ u16+high-bit wire, the streamed fetch, and host-side finalization.
 
 Split out of eval/tpu.py (round 4).  The score phase is device->host
 fetch-bound on the tunneled runtime, so every statistic crosses in a
-~25 B/pair blob (ll f32[2,P] compensated pair, ints u16[8,P] low halves,
+~19 B/pair blob (ll f32[2,P] compensated pair, ints u16[5,P] low halves,
 hi u8[P] carrying each statistic's 2^16 bit) instead of fourteen [N, N]
-f32 planes."""
+f32 planes.  Only 5 of the 8 integer statistics cross the wire: the
+genotype indicators PARTITION the valid mask (het + hom_at + hom_cg =
+val exactly, eval/kernels.py:_genotype_planes), so the hom tallies are
+integer identities of the five fetched ones — homs_k = n − hets_k and
+shared_homs = n − hets1 − hets2 + shared_hets − ibs0 — reconstructed
+exactly in int64 by _unpack_blob."""
 
 from __future__ import annotations
 
@@ -32,13 +37,14 @@ def _pack_triangle(tallies, s1, jint, jfh, jfl, narrow: bool):
     """Gather the i<j triangle of every per-pair statistic on device
     (P = N(N-1)/2, row-major pair order — matches np.triu_indices(N, 1)).
 
-    Returns (ll [2, P] f32, ints, hi) where ints holds [n, ibs0,
-    shared_hets, shared_homs, hets1, hets2, homs1, homs2]:
+    Returns (ll [2, P] f32, ints, hi) where ints holds the 5-statistic
+    wire [n, ibs0, shared_hets, hets1, hets2] (the hom tallies are
+    derived host-side — see the module docstring):
 
     * narrow wire (every statistic < 2¹⁷, i.e. n_sites ≤ 131071 — 1.4x
       the human site set): ints is u16 low halves and hi is a [P] u8
-      whose bit k carries statistic k's 2¹⁶ bit — 25 B/pair on the wire
-      vs 40 for the all-f32 blob, a 37% cut on the fetch-bound phase.
+      whose bit k carries statistic k's 2¹⁶ bit — 19 B/pair on the wire
+      vs 28 for the all-f32 blob (and vs the round-3 8-statistic 25).
     * wide fallback: ints is the exact-integer f32 stack, hi is None.
 
     The log-likelihood −2·(J − s1 − s1ᵀ) (CompareCounts.hpp:1093-1099) is
@@ -68,25 +74,23 @@ def _pack_triangle(tallies, s1, jint, jfh, jfl, narrow: bool):
             g(n_plane),
             g(tallies["ibs0"]),
             g(tallies["shared_hets"]),
-            g(tallies["shared_homs"]),
             g(tallies["hets1"]),
             gt(tallies["hets1"]),
-            g(tallies["homs1"]),
-            gt(tallies["homs1"]),
         ]
     )
     return _narrow_ints(ll, ints, narrow)
 
 
 def _narrow_ints(ll, ints, narrow: bool):
-    """u16+high-bit wire for a stack of 8 exact-integer f32 statistics
+    """u16+high-bit wire for a stack of ≤8 exact-integer f32 statistics
     (shared by the triangle and rect packers)."""
     if not narrow:
         return ll, ints.astype(jnp.float32), None
     iv = ints.astype(jnp.int32)
     lo = (iv & 0xFFFF).astype(jnp.uint16)
-    shift = jnp.arange(8, dtype=jnp.uint8).reshape(
-        (8,) + (1,) * (ints.ndim - 1)
+    k = ints.shape[0]
+    shift = jnp.arange(k, dtype=jnp.uint8).reshape(
+        (k,) + (1,) * (ints.ndim - 1)
     )
     hi = jnp.sum((iv >> 16).astype(jnp.uint8) << shift, axis=0,
                  dtype=jnp.uint8)
@@ -94,14 +98,23 @@ def _narrow_ints(ll, ints, narrow: bool):
 
 
 def _unpack_blob(ll, ints, hi):
-    """Host-side inverse of _pack_triangle's wire: (ll [2,p], iv [8,p]
-    int64) from fetched numpy parts."""
+    """Host-side inverse of the packed wire: (ll [2,p], iv [8,p] int64)
+    from the fetched 5-statistic parts [n, ibs0, shared_hets, hets1,
+    hets2].  The hom statistics never cross the wire — they are exact
+    integer identities (the genotype indicators partition the valid
+    mask, so homs_k = n − hets_k and n = shet + shom + ibs0 +
+    (hets1 − shet) + (hets2 − shet)); iv rows come back in the
+    historical order [n, ibs0, shared_hets, shared_homs, hets1, hets2,
+    homs1, homs2] so downstream finalizers are unchanged."""
+    w = ints.astype(np.int64)
     if hi is not None:
-        iv = ints.astype(np.int64)
-        shift = np.arange(8).reshape((8,) + (1,) * (ints.ndim - 1))
-        iv += ((hi[None].astype(np.int64) >> shift) & 1) << 16
-    else:
-        iv = ints.astype(np.int64)
+        k = w.shape[0]
+        shift = np.arange(k).reshape((k,) + (1,) * (ints.ndim - 1))
+        w += ((hi[None].astype(np.int64) >> shift) & 1) << 16
+    n, ibs0, shet, h1, h2 = w
+    iv = np.stack(
+        [n, ibs0, shet, n - h1 - h2 + shet - ibs0, h1, h2, n - h1, n - h2]
+    )
     return ll, iv
 
 

@@ -302,15 +302,14 @@ def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int, n_valid=None):
     def isum(x):  # exact integer-valued f32 reduction
         return x.sum(axis=1)
 
+    # only the 5-statistic wire is computed — the hom tallies are exact
+    # host-side identities of these (see eval/blob.py)
     tallies = dict(
         n=isum(m),
         shared_hets=isum(het1 * het2),
-        shared_homs=isum(hat1 * hat2 + hcg1 * hcg2),
         ibs0=isum(hat1 * hcg2 + hcg1 * hat2),
         hets1=isum(het1 * val2),
-        homs1=isum((hat1 + hcg1) * val2),
         hets2=isum(het2 * val1),
-        homs2=isum((hat2 + hcg2) * val1),
     )
 
     P, Lp = a_i.shape
@@ -345,18 +344,16 @@ def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int, n_valid=None):
         (cview(a_i), cview(b_i), cview(a_j), cview(b_j), cview(m), cview(s1_plane)),
     )
     (jih, jil), (jfh, jfl), (s1h, s1l) = acc
-    # one [14, P] blob per block: a single device->host fetch instead of
-    # fourteen (each fetch on the tunneled runtime pays a fixed RTT)
+    # one [11, P] blob per block: a single device->host fetch instead of
+    # many (each fetch on the tunneled runtime pays a fixed RTT); rows
+    # 0-4 are the 5-statistic integer wire, 5-10 the compensated pairs
     return jnp.stack(
         [
             tallies["n"],
             tallies["shared_hets"],
-            tallies["shared_homs"],
             tallies["ibs0"],
             tallies["hets1"],
-            tallies["homs1"],
             tallies["hets2"],
-            tallies["homs2"],
             jih,
             jil,
             jfh,

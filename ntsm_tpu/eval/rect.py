@@ -54,7 +54,9 @@ COLS = 256  # "i" columns per rect dispatch (= the upload block rows)
 BATCH = 8  # rects stacked per device->host fetch (the tunnel charges a
 # ~150 ms fixed cost per transfer: per-rect fetches were 546 RTTs for
 # 149 MB at N=3202 — RTT-bound at ~1.5 MB/s effective.  Stacking BATCH
-# rects device-side cuts that to ~3 calls per BATCH.)
+# rects device-side cuts that to ~3 calls per BATCH.  The 5-statistic
+# wire (19 B/entry vs the round-3 25) cuts the bytes another 24% at
+# the same transfer count.)
 
 
 def _f32mm(x, y):
@@ -92,15 +94,14 @@ def _rect_block_stats(ra, rb, r0, ca, cb, *, mc: float, chunk: int,
     )
 
     # indicator tallies (exact 0/1 matmuls); both orientations — the row
-    # sample is the pair's j, the column sample its i
+    # sample is the pair's j, the column sample its i.  Only the 5-stat
+    # wire is computed: the hom tallies are host-side identities of
+    # these (see eval/blob.py), so their matmuls never run.
     n = _f32mm(val_r, val_c)
     shet = _f32mm(het_r, het_c)
-    shom = _f32mm(hat_r, hat_c) + _f32mm(hcg_r, hcg_c)
     ibs0 = _f32mm(hat_r, hcg_c) + _f32mm(hcg_r, hat_c)
     hets_row = _f32mm(het_r, val_c)  # hets2 (sample j)
-    homs_row = _f32mm(hat_r + hcg_r, val_c)
     hets_col = _f32mm(val_r, het_c)  # hets1 (sample i)
-    homs_col = _f32mm(val_r, hat_c + hcg_c)
 
     C = Lp // chunk
     crow = (ROWS, C, chunk)
@@ -128,9 +129,7 @@ def _rect_block_stats(ra, rb, r0, ca, cb, *, mc: float, chunk: int,
     dh, dl = _dd_sub(jh, jl, *s1ij)
     dh, dl = _dd_sub(dh, dl, *s1ji)
     ll = jnp.stack([-2.0 * dh, -2.0 * dl])
-    ints = jnp.stack(
-        [n, ibs0, shet, shom, hets_col, hets_row, homs_col, homs_row]
-    )
+    ints = jnp.stack([n, ibs0, shet, hets_col, hets_row])
     return _narrow_ints(ll, ints, narrow)
 
 

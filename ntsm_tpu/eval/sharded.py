@@ -170,7 +170,7 @@ def _pack_mesh_blob(tallies_d, s1_d, joint_d, N: int, n_sites: int):
     hi) wire as the single-device path, built under one jit over the
     sharded [Npad, N] planes (XLA inserts the gathers/collectives) — the
     fetch drops from fourteen [N, N] f32 planes (~574 MB at N=3202) to
-    ~25 B/pair (~128 MB).  Tier bound: n_sites (pads are n_valid-
+    ~19 B/pair (~97 MB).  Tier bound: n_sites (pads are n_valid-
     masked)."""
     narrow = n_sites <= _blob.NARROW_WIRE_MAX_SITES
 

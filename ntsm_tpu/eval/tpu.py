@@ -100,7 +100,7 @@ from ntsm_tpu.eval.wire import (  # noqa: F401
 from ntsm_tpu.options import Options
 from ntsm_tpu.utils.formats import cpp_div  # noqa: F401
 
-STREAM_PAIRS = 1 << 20  # packed-blob pairs per fetch chunk (~25 MB narrow)
+STREAM_PAIRS = 1 << 20  # packed-blob pairs per fetch chunk (~19 MB narrow)
 PCA_FETCH_GROUP = 16  # -p pair blocks stacked per device->host fetch
 
 
@@ -127,7 +127,7 @@ def compute_pair_stats_tpu(
     block against the all_gather'ed planes).
 
     With `packed`, the i<j triangle of every statistic is gathered ON
-    DEVICE into an (ll f32[2,P], ints u16[8,P], hi u8[P]) blob and
+    DEVICE into an (ll f32[2,P], ints u16[5,P], hi u8[P]) blob and
     fetched in three arrays per chunk instead of fourteen [N, N] planes —
     the score phase is device->host-fetch-bound on the tunneled runtime,
     and this cuts fetched bytes ~7x and turns ~110 transfers into 3 per
@@ -349,7 +349,7 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
         return ii_all[blk0 : blk0 + P], jj_all[blk0 : blk0 + P], P, dev
 
     # grouped pipeline: dispatch PCA_FETCH_GROUP pair blocks, stack their
-    # [14, PAIR_BLOCK] blobs device-side, fetch ONE stacked array per
+    # [11, PAIR_BLOCK] blobs device-side, fetch ONE stacked array per
     # group on the worker thread while the host finalizes and formats the
     # previous group.  Per-fetch RTT on the tunnel is ~0.2-0.5 s; at
     # N=3202 the candidate set is ~1000 blocks, so per-block fetches cost
@@ -389,29 +389,26 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
 
 def _emit_pca_block(data, opts, out, cov, emit_native, samp_cache, cloud,
                     ii, jj, P, blob) -> None:
-    """Host finalize + emission for one fetched [14, PAIR_BLOCK] -p blob
+    """Host finalize + emission for one fetched [11, PAIR_BLOCK] -p blob
     (the loop body of compute_score_pca_tpu, split out so the pipeline
-    can run it while the next block is in flight)."""
+    can run it while the next block is in flight).  Rows 0-4 are the
+    5-statistic integer wire; the hom tallies are exact integer
+    identities of those (see eval/blob.py)."""
     from ntsm_tpu.eval.pca import calc_distance_sq
     from ntsm_tpu.utils.formats import cpp_to_string
 
     tallies = {
         k: blob[r, :P].astype(np.int64)
-        for r, k in enumerate(
-            (
-                "n",
-                "shared_hets",
-                "shared_homs",
-                "ibs0",
-                "hets1",
-                "homs1",
-                "hets2",
-                "homs2",
-            )
-        )
+        for r, k in enumerate(("n", "shared_hets", "ibs0", "hets1", "hets2"))
     }
-    J = ((blob[8] + blob[9]) - (blob[10] + blob[11]))[:P]
-    s1 = (blob[12] + blob[13])[:P]
+    nv, h1, h2 = tallies["n"], tallies["hets1"], tallies["hets2"]
+    tallies["homs1"] = nv - h1
+    tallies["homs2"] = nv - h2
+    tallies["shared_homs"] = (
+        nv - h1 - h2 + tallies["shared_hets"] - tallies["ibs0"]
+    )
+    J = ((blob[5] + blob[6]) - (blob[7] + blob[8]))[:P]
+    s1 = (blob[9] + blob[10])[:P]
     loglik = -2.0 * (J - s1)
     iv = ii[:P].astype(np.int64)
     jv = jj[:P].astype(np.int64)

@@ -344,9 +344,13 @@ def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int, n_valid=None):
         (cview(a_i), cview(b_i), cview(a_j), cview(b_j), cview(m), cview(s1_plane)),
     )
     (jih, jil), (jfh, jfl), (s1h, s1l) = acc
-    # one [11, P] blob per block: a single device->host fetch instead of
-    # many (each fetch on the tunneled runtime pays a fixed RTT); rows
-    # 0-4 are the 5-statistic integer wire, 5-10 the compensated pairs
+    # fold the joint/single accumulators into the compensated loglik pair
+    # ON DEVICE (same _dd_sub sequence as the rect/triangle packers):
+    # one [7, P] blob per block — rows 0-4 the 5-statistic integer wire,
+    # rows 5-6 the loglik hi/lo — 28 B/pair on the single-array fetch
+    # (the round-3 blob shipped all six accumulator rows: 44 B/pair).
+    dh, dl = _dd_sub(jih, jil, jfh, jfl)
+    dh, dl = _dd_sub(dh, dl, s1h, s1l)
     return jnp.stack(
         [
             tallies["n"],
@@ -354,11 +358,7 @@ def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int, n_valid=None):
             tallies["ibs0"],
             tallies["hets1"],
             tallies["hets2"],
-            jih,
-            jil,
-            jfh,
-            jfl,
-            s1h,
-            s1l,
+            -2.0 * dh,
+            -2.0 * dl,
         ]
     )

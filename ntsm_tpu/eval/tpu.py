@@ -349,7 +349,7 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
         return ii_all[blk0 : blk0 + P], jj_all[blk0 : blk0 + P], P, dev
 
     # grouped pipeline: dispatch PCA_FETCH_GROUP pair blocks, stack their
-    # [11, PAIR_BLOCK] blobs device-side, fetch ONE stacked array per
+    # [7, PAIR_BLOCK] blobs device-side, fetch ONE stacked array per
     # group on the worker thread while the host finalizes and formats the
     # previous group.  Per-fetch RTT on the tunnel is ~0.2-0.5 s; at
     # N=3202 the candidate set is ~1000 blocks, so per-block fetches cost
@@ -389,11 +389,12 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
 
 def _emit_pca_block(data, opts, out, cov, emit_native, samp_cache, cloud,
                     ii, jj, P, blob) -> None:
-    """Host finalize + emission for one fetched [11, PAIR_BLOCK] -p blob
+    """Host finalize + emission for one fetched [7, PAIR_BLOCK] -p blob
     (the loop body of compute_score_pca_tpu, split out so the pipeline
     can run it while the next block is in flight).  Rows 0-4 are the
-    5-statistic integer wire; the hom tallies are exact integer
-    identities of those (see eval/blob.py)."""
+    5-statistic integer wire (the hom tallies are exact integer
+    identities of those — see eval/blob.py); rows 5-6 the compensated
+    loglik pair, folded on device."""
     from ntsm_tpu.eval.pca import calc_distance_sq
     from ntsm_tpu.utils.formats import cpp_to_string
 
@@ -407,9 +408,7 @@ def _emit_pca_block(data, opts, out, cov, emit_native, samp_cache, cloud,
     tallies["shared_homs"] = (
         nv - h1 - h2 + tallies["shared_hets"] - tallies["ibs0"]
     )
-    J = ((blob[5] + blob[6]) - (blob[7] + blob[8]))[:P]
-    s1 = (blob[9] + blob[10])[:P]
-    loglik = -2.0 * (J - s1)
+    loglik = (blob[5] + blob[6])[:P]
     iv = ii[:P].astype(np.int64)
     jv = jj[:P].astype(np.int64)
     nvec = tallies["n"]

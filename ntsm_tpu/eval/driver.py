@@ -153,17 +153,47 @@ def run_eval(data: CountData, opts: Options, out) -> None:
             else:
                 exact.compute_score_all(data, opts, out)
         else:
-            cloud = project_pcs(data, opts)
-            if opts.debug:
-                compute_score_pca_debug(data, opts, out, cloud)
-            elif getattr(opts, "engine", "exact") == "tpu":
-                # device pair-block scoring of the candidate set — same
-                # pairs/order as the host loop, O(candidates · sites) on
-                # the VPU (reference pair loop: CompareCounts.hpp:335-356)
-                from ntsm_tpu.eval.tpu import compute_score_pca_tpu
+            # streaming -p engine: attached by the wire loader when the
+            # whole filtered pipeline (projection, tiers, candidate
+            # decisions, device pair scoring) already ran DURING the
+            # parse — only the reference-order enumeration and emission
+            # remain (eval/pca_stream.py).  Falls back to the serial
+            # phases on any stream failure.
+            eng = getattr(data, "pca_stream", None)
+            if eng is not None:
+                data.pca_stream = None
+                if opts.debug or getattr(opts, "engine", "exact") != "tpu":
+                    eng.abort()
+                    eng = None
+                else:
+                    try:
+                        eng.join()
+                    except BaseException as e:  # noqa: BLE001
+                        print(
+                            f"ntsm eval: -p stream failed ({e}); "
+                            "falling back to the serial path",
+                            file=sys.stderr,
+                        )
+                        eng = None
+            if eng is not None:
+                from ntsm_tpu.eval.exact import HEADER
 
-                compute_score_pca_tpu(data, opts, out, cloud)
+                out.write(HEADER)
+                out.write("\n")
+                eng.result_rows(data, opts, out)
             else:
-                compute_score_pca(data, opts, out, cloud)
+                cloud = project_pcs(data, opts)
+                if opts.debug:
+                    compute_score_pca_debug(data, opts, out, cloud)
+                elif getattr(opts, "engine", "exact") == "tpu":
+                    # device pair-block scoring of the candidate set —
+                    # same pairs/order as the host loop, O(candidates ·
+                    # sites) on the VPU (reference pair loop:
+                    # CompareCounts.hpp:335-356)
+                    from ntsm_tpu.eval.tpu import compute_score_pca_tpu
+
+                    compute_score_pca_tpu(data, opts, out, cloud)
+                else:
+                    compute_score_pca(data, opts, out, cloud)
     if opts.merge:
         merge_counts(data, opts.merge)

@@ -271,6 +271,174 @@ def _joint_frac_pallas(a_t, b_t, v_t, mc: float):
 PAIR_BLOCK = 4096  # candidate pairs per device invocation (-p path)
 
 
+PAIR_GATHER_CHUNKS = 8  # site chunks fetched per row gather (-p kernel):
+# the gather is probe-rate-bound, so wider rows are ~free until VMEM
+# pressure; measured 28.5 / 25.9 / 25.4 / 18.7 ms/block at g=1/2/4/8 and
+# flat at g=16 (scripts/profile_pairblock2.py, v5e) — results bitwise
+# identical across g (sub-chunks unroll through the same accumulators)
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def _chunk_planes(A, B, g: int = PAIR_GATHER_CHUNKS):
+    """[N, Lp] wire planes -> one fused [C/g, N, 2*g*c] chunked layout
+    (wire dtype kept: the scan body widens per sub-chunk).  Each row of
+    the last dim holds g consecutive A chunks then g consecutive B
+    chunks, so the -p pair kernel needs ONE gather per sample row per
+    scan step instead of 2g — the gather is probe-rate-bound (~210M
+    rows/s on this HBM, CLAUDE.md), so probes, not bytes, are the cost.
+    The planes are zero-padded up to a g*CHUNK multiple (the production
+    Lp = 96512 is 377 odd chunks: +1.9% pad columns buys 8x fewer
+    probes); pad sites are dead under the kernel's strict `> minCov`
+    test for mc >= 0 and its n_valid live mask otherwise — always pass
+    n_valid.  One transpose per eval run; nothing [P, Lp]-sized ever
+    materializes."""
+    N, Lp = A.shape
+    pad = (-Lp) % (CHUNK * g)
+    if pad:
+        A = jnp.pad(A, ((0, 0), (0, pad)))
+        B = jnp.pad(B, ((0, 0), (0, pad)))
+    Cg = (Lp + pad) // (CHUNK * g)
+    sw = lambda x: jnp.swapaxes(  # noqa: E731
+        x.reshape(N, Cg, g * CHUNK), 0, 1
+    )
+    return jnp.concatenate([sw(A), sw(B)], axis=2)
+
+
+def _pair_gather_g(Lp: int) -> int:
+    """Gather width for a plane (kept for call-site symmetry; the fused
+    layout pads, so any plane takes the full width)."""
+    del Lp
+    return PAIR_GATHER_CHUNKS
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mc", "n_valid", "narrow", "g")
+)
+def _pair_block_stats_v2(F_t, ii, jj, *, mc: float, n_valid, narrow: bool,
+                         g: int = PAIR_GATHER_CHUNKS):
+    """Per-pair statistics for one block of candidate pairs (-p path),
+    fully fused: one scan over the site chunks whose body gathers the
+    paired row chunks and computes every statistic in place.
+
+    The round-4 kernel (_pair_block_stats) gathered whole [P, Lp] f32
+    rows and built the genotype/s1 planes as [P, Lp] arrays BEFORE its
+    scan — ~40 GB of HBM traffic per 4096-pair block at the 96,287-site
+    scale, measured 123.5 ms/block (154.8 s for the N=3202 candidate
+    set, BASELINE.md round 4).  Chunk-local gathers keep every
+    intermediate VMEM-sized, and the fused A++B layout with g chunks per
+    gather cuts the probe count 2g-fold (the gather is probe-rate-bound).
+    The arithmetic per pair is unchanged for ANY g: sub-chunks are
+    unrolled in site order through the same accumulator sequence
+    (per-chunk f32 sums, compensated cross-chunk accumulation — the -a
+    engines' precision class), so results are bitwise identical across g
+    and scores agree with the old kernel to the usual f32-pair tolerance
+    with exact integer tallies.
+
+    F_t: [C/g, N, 2*g*c] fused chunked wire planes (_chunk_planes);
+    ii/jj: [P] i32 pair indices.  Returns the rect engine's
+    (ll f32[2, P], ints, hi) 5-statistic wire (eval/blob._narrow_ints).
+
+    Reference being replaced: the candidate pair loop of computeScorePCA,
+    /root/reference/src/CompareCounts.hpp:335-356."""
+    from ntsm_tpu.eval.blob import _narrow_ints
+
+    mcf = jnp.float32(mc)
+    Cg, N, w = F_t.shape
+    c = w // (2 * g)
+    P = ii.shape[0]
+    nv = jnp.int32(Cg * g * c if n_valid is None else int(n_valid))
+    site0 = jnp.arange(Cg, dtype=jnp.int32) * jnp.int32(g * c)
+    lane = jnp.arange(c, dtype=jnp.int32)
+
+    def sub_chunk(acc, a_i, b_i, a_j, b_j, live):
+        """One CHUNK-wide statistic step ([P, c] f32 tiles).  live masks
+        the pad columns past n_valid (strict >mc parity: a=b=0 pad sites
+        are already excluded while mc >= 0; the mask covers negative -c
+        exactly like _genotype_planes' n_valid)."""
+        pxi = (a_i > mcf) & live
+        pyi = (b_i > mcf) & live
+        pxj = (a_j > mcf) & live
+        pyj = (b_j > mcf) & live
+        het_i = pxi & pyi
+        hat_i = pxi & ~pyi
+        hcg_i = ~pxi & pyi
+        val_i = pxi | pyi
+        het_j = pxj & pyj
+        hat_j = pxj & ~pyj
+        hcg_j = ~pxj & pyj
+        val_j = pxj | pyj
+        m = (val_i & val_j).astype(jnp.float32)
+
+        def bsum(x):  # exact integer-valued f32 chunk reduction
+            return x.astype(jnp.float32).sum(axis=1)
+
+        n_c = bsum(val_i & val_j)
+        shet_c = bsum(het_i & het_j)
+        ibs0_c = bsum((hat_i & hcg_j) | (hcg_i & hat_j))
+        h1_c = bsum(het_i & val_j)
+        h2_c = bsum(het_j & val_i)
+
+        # single-sample likelihood planes (calcHomHetMiss form)
+        si = jnp.where(pxi, a_i, 0.0) + jnp.where(pyi, b_i, 0.0)
+        sj = jnp.where(pxj, a_j, 0.0) + jnp.where(pyj, b_j, 0.0)
+        sfi = (pxi.astype(jnp.float32) + pyi.astype(jnp.float32)) * (
+            a_i * b_i
+        ) / jnp.maximum(a_i + b_i, 1.0)
+        sfj = (pxj.astype(jnp.float32) + pyj.astype(jnp.float32)) * (
+            a_j * b_j
+        ) / jnp.maximum(a_j + b_j, 1.0)
+        s1_c = ((si - sfi + (sj - sfj)) * m).sum(axis=1)
+
+        # joint terms on the summed counts
+        aa = a_i + a_j
+        bb = b_i + b_j
+        paa = aa > mcf
+        pbb = bb > mcf
+        jint_c = (
+            (jnp.where(paa, aa, 0.0) + jnp.where(pbb, bb, 0.0)) * m
+        ).sum(axis=1)
+        nf = paa.astype(jnp.float32) + pbb.astype(jnp.float32)
+        jfrac_c = ((nf * (aa * bb) / jnp.maximum(aa + bb, 1.0)) * m).sum(
+            axis=1
+        )
+
+        ints, (jih, jil), (jfh, jfl), (s1h, s1l) = acc
+        ints = ints + jnp.stack([n_c, ibs0_c, shet_c, h1_c, h2_c])
+        return (
+            ints,
+            _two_sum(jih, jil, jint_c),
+            _two_sum(jfh, jfl, jfrac_c),
+            _two_sum(s1h, s1l, s1_c),
+        )
+
+    def body(acc, xs):
+        fc, s0 = xs  # [N, 2*g*c] fused wire rows, scalar site base
+        rows_i = fc[ii]  # [P, 2*g*c] — ONE probe per pair-side per step
+        rows_j = fc[jj]
+        for s in range(g):  # unrolled in site order: bitwise == g=1
+            a_i = rows_i[:, s * c : (s + 1) * c].astype(jnp.float32)
+            b_i = rows_i[:, (g + s) * c : (g + s + 1) * c].astype(
+                jnp.float32
+            )
+            a_j = rows_j[:, s * c : (s + 1) * c].astype(jnp.float32)
+            b_j = rows_j[:, (g + s) * c : (g + s + 1) * c].astype(
+                jnp.float32
+            )
+            live = (s0 + jnp.int32(s * c) + lane) < nv
+            acc = sub_chunk(acc, a_i, b_i, a_j, b_j, live)
+        return acc, None
+
+    z = jnp.zeros((P,), jnp.float32)
+    acc0 = (jnp.zeros((5, P), jnp.float32), (z, z), (z, z), (z, z))
+    (ints, (jih, jil), (jfh, jfl), (s1h, s1l)), _ = jax.lax.scan(
+        body, acc0, (F_t, site0)
+    )
+    dh, dl = _dd_sub(jih, jil, jfh, jfl)
+    dh, dl = _dd_sub(dh, dl, s1h, s1l)
+    ll = jnp.stack([-2.0 * dh, -2.0 * dl])
+    return _narrow_ints(ll, ints, narrow)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "mc", "n_valid"))
 def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int, n_valid=None):
     """Per-pair statistics for one block of candidate pairs (-p path).
@@ -345,7 +513,10 @@ def _pair_block_stats(A, B, ii, jj, *, mc: float, chunk: int, n_valid=None):
     )
     (jih, jil), (jfh, jfl), (s1h, s1l) = acc
     # fold the joint/single accumulators into the compensated loglik pair
-    # ON DEVICE (same _dd_sub sequence as the rect/triangle packers):
+    # ON DEVICE (same compensated-pair style as the rect/triangle packers
+    # — s1 folded as ONE combined pair here, two pairs there, so low bits
+    # may differ across engines; scores are tolerance-checked, not
+    # bit-checked):
     # one [7, P] blob per block — rows 0-4 the 5-statistic integer wire,
     # rows 5-6 the loglik hi/lo — 28 B/pair on the single-array fetch
     # (the round-3 blob shipped all six accumulator rows: 44 B/pair).

@@ -98,6 +98,64 @@ def load_rotation(path: str, n_sites: int) -> np.ndarray:
 _PROJ_BLK = 128  # projection row block (buffers ~0.6 GB at the human scale)
 
 
+class _ProjScratch:
+    """Reused projection buffers for one row-block width (the fresh-page
+    pathology fix shared by project_pcs and the streaming -p engine —
+    identical per-row arithmetic, so clouds are bitwise equal)."""
+
+    def __init__(self, blk: int, L: int, fast: bool):
+        self.blk = blk
+        self.ca, self.cb, self.den, self.g = (
+            np.zeros((blk, L), np.float64) for _ in range(4)
+        )
+        self.vals = np.zeros(
+            (blk, L), np.float64 if fast else np.longdouble
+        )
+        self.keep, self.low = (np.zeros((blk, L), bool) for _ in range(2))
+
+
+def _project_rows(sc: _ProjScratch, ab, bb, normv, rotT, mc, out) -> None:
+    """Project one row block: quantize {0, 0.5, 1} (reference sign-test
+    thresholds), zero missing sites, subtract centers, rotate.  ab/bb:
+    [m, L] integer count rows; out: [m, dim] f64.  The arithmetic is the
+    reference's projectPCs (:173-210) — see project_pcs' docstring."""
+    m = ab.shape[0]
+    cam, cbm, denm, gm = sc.ca[:m], sc.cb[:m], sc.den[:m], sc.g[:m]
+    valsm, keepm, lowm = sc.vals[:m], sc.keep[:m], sc.low[:m]
+    # ca/cb = where(count > mc, count, 0) as f64 (exact small ints)
+    np.copyto(cam, ab)
+    np.greater(ab, mc, out=keepm)
+    cam *= keepm
+    np.copyto(cbm, bb)
+    np.greater(bb, mc, out=keepm)
+    cbm *= keepm
+    np.add(cam, cbm, out=denm)
+    # g = ca / den where den > 0 else 0; den is integer-valued, so
+    # max(den, 1) selects the same divisor as where(den > 0, den, 1)
+    # and 0/1 lands the same 0.0 on missing sites
+    np.maximum(denm, 1.0, out=gm)
+    np.divide(cam, gm, out=gm)
+    # q thresholds, reference sign-test form (g-0.25 < 0, g-0.75 < 0)
+    qm = cam  # reuse: ca is dead from here on
+    qm.fill(1.0)
+    np.subtract(gm, 0.75, out=cbm)
+    np.less(cbm, 0.0, out=lowm)
+    np.copyto(qm, 0.5, where=lowm)
+    np.subtract(gm, 0.25, out=cbm)
+    np.less(cbm, 0.0, out=lowm)
+    np.copyto(qm, 0.0, where=lowm)
+    # vals = q - center where present, exactly 0.0 where missing
+    np.subtract(qm, normv[None, :], out=valsm)
+    np.equal(denm, 0.0, out=lowm)
+    np.copyto(valsm, 0.0, where=lowm)
+    if valsm.dtype == np.float64:
+        np.matmul(valsm, rotT, out=out)
+    else:
+        # extended-precision inner products, cast per the reference's
+        # double accumulator
+        out[:] = (valsm @ rotT).astype(np.float64)
+
+
 def project_pcs(data: CountData, opts: Options, fast: bool | None = None) -> np.ndarray:
     """[N, dim] float64 PCA cloud, matching projectPCs' arithmetic
     (:173-210): per site the genotype fraction AT/(AT+CG) is quantized to
@@ -136,47 +194,11 @@ def project_pcs(data: CountData, opts: Options, fast: bool | None = None) -> np.
         normv = norm
     cloud = np.empty((N, dim), np.float64)
     blk = min(N, _PROJ_BLK)
-    ca, cb, den, g = (np.zeros((blk, L), np.float64) for _ in range(4))
-    vals = np.zeros((blk, L), np.float64 if fast else np.longdouble)
-    keep, low = (np.zeros((blk, L), bool) for _ in range(2))
+    sc = _ProjScratch(blk, L, fast)
     for r0 in range(0, N, blk):
         r1 = min(r0 + blk, N)
-        m = r1 - r0
-        cam, cbm, denm, gm = ca[:m], cb[:m], den[:m], g[:m]
-        valsm, keepm, lowm = vals[:m], keep[:m], low[:m]
-        ab, bb = a[r0:r1], b[r0:r1]
-        # ca/cb = where(count > mc, count, 0) as f64 (exact small ints)
-        np.copyto(cam, ab)
-        np.greater(ab, mc, out=keepm)
-        cam *= keepm
-        np.copyto(cbm, bb)
-        np.greater(bb, mc, out=keepm)
-        cbm *= keepm
-        np.add(cam, cbm, out=denm)
-        # g = ca / den where den > 0 else 0; den is integer-valued, so
-        # max(den, 1) selects the same divisor as where(den > 0, den, 1)
-        # and 0/1 lands the same 0.0 on missing sites
-        np.maximum(denm, 1.0, out=gm)
-        np.divide(cam, gm, out=gm)
-        # q thresholds, reference sign-test form (g-0.25 < 0, g-0.75 < 0)
-        qm = cam  # reuse: ca is dead from here on
-        qm.fill(1.0)
-        np.subtract(gm, 0.75, out=cbm)
-        np.less(cbm, 0.0, out=lowm)
-        np.copyto(qm, 0.5, where=lowm)
-        np.subtract(gm, 0.25, out=cbm)
-        np.less(cbm, 0.0, out=lowm)
-        np.copyto(qm, 0.0, where=lowm)
-        # vals = q - center where present, exactly 0.0 where missing
-        np.subtract(qm, normv[None, :], out=valsm)
-        np.equal(denm, 0.0, out=lowm)
-        np.copyto(valsm, 0.0, where=lowm)
-        if fast:
-            np.matmul(valsm, rotT, out=cloud[r0:r1])
-        else:
-            # extended-precision inner products, cast per the reference's
-            # double accumulator
-            cloud[r0:r1] = (valsm @ rotT).astype(np.float64)
+        _project_rows(sc, a[r0:r1], b[r0:r1], normv, rotT, mc,
+                      cloud[r0:r1])
     return cloud
 
 
@@ -198,8 +220,12 @@ def search_radii(data: CountData, opts: Options) -> np.ndarray:
     return radii
 
 
-def pca_candidates(cloud: np.ndarray, radii: np.ndarray, dim: int):
+def pca_candidates(cloud: np.ndarray, radii: np.ndarray, dim: int,
+                   sq: np.ndarray | None = None):
     """Candidate pairs with the reference's pruning rules (:316-390).
+    `sq` short-circuits the distance matrix with a precomputed one (the
+    streaming -p engine builds it incrementally with the identical
+    per-entry arithmetic — eval/pca_stream.py).
 
     Yields (i, k) pairs in the reference's emission order: for each sample i
     (ascending), its radius-search matches sorted by distance (nanoflann
@@ -215,15 +241,17 @@ def pca_candidates(cloud: np.ndarray, radii: np.ndarray, dim: int):
     """
     n = cloud.shape[0]
     c = cloud[:, :dim]
-    # row-blocked (a-b)^2 accumulation: same per-coordinate arithmetic
-    # order as nanoflann's L2 accum (NOT the |a|^2+|b|^2-2ab matmul form,
-    # whose different rounding could flip borderline radius comparisons),
-    # without the [N, N, dim] transient (~1.6 GB at the N=3202 cohort)
-    sq = np.empty((n, n), dtype=np.float64)
-    BLK = 64
-    for r0 in range(0, n, BLK):
-        r1 = min(r0 + BLK, n)
-        sq[r0:r1] = ((c[r0:r1, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    if sq is None:
+        # row-blocked (a-b)^2 accumulation: same per-coordinate arithmetic
+        # order as nanoflann's L2 accum (NOT the |a|^2+|b|^2-2ab matmul
+        # form, whose different rounding could flip borderline radius
+        # comparisons), without the [N, N, dim] transient (~1.6 GB at the
+        # N=3202 cohort)
+        sq = np.empty((n, n), dtype=np.float64)
+        BLK = 64
+        for r0 in range(0, n, BLK):
+            r1 = min(r0 + BLK, n)
+            sq[r0:r1] = ((c[r0:r1, None, :] - c[None, :, :]) ** 2).sum(axis=2)
     for i in range(n):
         if radii[i] < DBL_MAX:
             match = np.nonzero(sq[i] < radii[i])[0]

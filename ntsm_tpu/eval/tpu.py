@@ -324,6 +324,16 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from ntsm_tpu.eval.kernels import (
+        _chunk_planes,
+        _pair_block_stats_v2,
+        _pair_gather_g,
+    )
+
+    g = _pair_gather_g(A.shape[1])
+    F_t = _chunk_planes(A, B, g)
+    narrow = data.n_sites <= NARROW_WIRE_MAX_SITES
+
     # ONE upload of the whole candidate index list (padded to a block
     # multiple); blocks slice it device-side.  Per-block jnp.asarray of
     # the 16 KB ii/jj arrays cost a ~50 ms round trip each — ~100 s of
@@ -341,31 +351,45 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
 
     def _dispatch(blk0: int):
         P = min(PAIR_BLOCK, n_pairs_all - blk0)
-        dev = _pair_block_stats(
-            A, B, ii_dev[blk0 : blk0 + PAIR_BLOCK],
+        dev = _pair_block_stats_v2(
+            F_t, ii_dev[blk0 : blk0 + PAIR_BLOCK],
             jj_dev[blk0 : blk0 + PAIR_BLOCK],
-            mc=float(opts.min_cov), chunk=CHUNK, n_valid=data.n_sites,
+            mc=float(opts.min_cov), n_valid=data.n_sites, narrow=narrow,
+            g=g,
         )
         return ii_all[blk0 : blk0 + P], jj_all[blk0 : blk0 + P], P, dev
 
     # grouped pipeline: dispatch PCA_FETCH_GROUP pair blocks, stack their
-    # [7, PAIR_BLOCK] blobs device-side, fetch ONE stacked array per
-    # group on the worker thread while the host finalizes and formats the
-    # previous group.  Per-fetch RTT on the tunnel is ~0.2-0.5 s; at
-    # N=3202 the candidate set is ~1000 blocks, so per-block fetches cost
-    # ~200 s of pure round-trips (measured, scripts/profile_pca.py) —
-    # grouping cuts the transfer count ~16x at 3.7 MB per fetch.
+    # wire parts device-side, fetch the stacked arrays per group on the
+    # worker thread while the host finalizes and formats the previous
+    # group.  Per-fetch RTT on the tunnel is ~0.2-0.5 s; at N=3202 the
+    # candidate set is ~1000 blocks, so per-block fetches cost ~200 s of
+    # pure round-trips (measured, scripts/profile_pca.py) — grouping cuts
+    # the transfer count ~16x.  The wire is the rect engine's 19 B/pair
+    # 5-statistic blob (VERDICT r4 #1): ll f32[2,P] + u16 lows + u8 highs
+    # (28 B/pair as the all-f32 [7, P] fallback on wide-count cohorts).
     def _dispatch_group(g0: int):
-        metas, devs = [], []
+        metas, lls, ints, his = [], [], [], []
         end = min(g0 + PCA_FETCH_GROUP * PAIR_BLOCK, len(pairs))
         for blk0 in range(g0, end, PAIR_BLOCK):
-            ii, jj, P, dev = _dispatch(blk0)
+            ii, jj, P, (ll, iv, hi) = _dispatch(blk0)
             metas.append((ii, jj, P))
-            devs.append(dev)
-        return metas, jnp.stack(devs)
+            lls.append(ll)
+            ints.append(iv)
+            his.append(hi)
+        return metas, (
+            jnp.stack(lls),
+            jnp.stack(ints),
+            None if his[0] is None else jnp.stack(his),
+        )
 
     def _fetch(stacked):
-        return np.asarray(stacked).astype(np.float64)
+        ll, iv, hi = stacked
+        return (
+            np.asarray(ll),
+            np.asarray(iv),
+            None if hi is None else np.asarray(hi),
+        )
 
     group_step = PCA_FETCH_GROUP * PAIR_BLOCK
     fetch_ex = ThreadPoolExecutor(1)
@@ -377,11 +401,12 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
             if g0 + group_step < len(pairs):
                 metas, stacked = _dispatch_group(g0 + group_step)
                 fut = fetch_ex.submit(_fetch, stacked)
-            blobs = blob_fut.result()
+            lls, ivs, his = blob_fut.result()
             for x, (ii, jj, P) in enumerate(cur_metas):
                 _emit_pca_block(
                     data, opts, out, cov, emit_native, samp_cache, cloud,
-                    ii, jj, P, blobs[x],
+                    ii, jj, P,
+                    (lls[x], ivs[x], None if his is None else his[x]),
                 )
     finally:
         fetch_ex.shutdown(wait=True)
@@ -389,26 +414,27 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
 
 def _emit_pca_block(data, opts, out, cov, emit_native, samp_cache, cloud,
                     ii, jj, P, blob) -> None:
-    """Host finalize + emission for one fetched [7, PAIR_BLOCK] -p blob
-    (the loop body of compute_score_pca_tpu, split out so the pipeline
-    can run it while the next block is in flight).  Rows 0-4 are the
-    5-statistic integer wire (the hom tallies are exact integer
-    identities of those — see eval/blob.py); rows 5-6 the compensated
-    loglik pair, folded on device."""
+    """Host finalize + emission for one fetched -p wire triple
+    (ll f32[2, PAIR_BLOCK], ints, hi — the rect engine's 5-statistic
+    blob, eval/blob.py; the loop body of compute_score_pca_tpu, split
+    out so the pipeline can run it while the next block is in flight).
+    The hom tallies are exact integer identities reconstructed by
+    _unpack_blob; the compensated loglik pair was folded on device."""
     from ntsm_tpu.eval.pca import calc_distance_sq
     from ntsm_tpu.utils.formats import cpp_to_string
 
-    tallies = {
-        k: blob[r, :P].astype(np.int64)
-        for r, k in enumerate(("n", "shared_hets", "ibs0", "hets1", "hets2"))
-    }
-    nv, h1, h2 = tallies["n"], tallies["hets1"], tallies["hets2"]
-    tallies["homs1"] = nv - h1
-    tallies["homs2"] = nv - h2
-    tallies["shared_homs"] = (
-        nv - h1 - h2 + tallies["shared_hets"] - tallies["ibs0"]
+    ll, ints, hi = blob
+    llp, iv8 = _unpack_blob(
+        ll[:, :P], ints[:, :P], None if hi is None else hi[:P]
     )
-    loglik = (blob[5] + blob[6])[:P]
+    tallies = dict(
+        zip(
+            ("n", "ibs0", "shared_hets", "shared_homs", "hets1", "hets2",
+             "homs1", "homs2"),
+            iv8,
+        )
+    )
+    loglik = llp[0].astype(np.float64) + llp[1].astype(np.float64)
     iv = ii[:P].astype(np.int64)
     jv = jj[:P].astype(np.int64)
     nvec = tallies["n"]

@@ -107,7 +107,7 @@ def _device_planes(data) -> tuple:
 
 
 def _upload_wires_streaming(paths, block_rows: int = 256, block_cb=None,
-                            meta_cb=None):
+                            meta_cb=None, host_cb=None, stats_out=None):
     """Parse count files into wire planes while uploading each finished
     256-row block to the device on a worker thread — the host parse
     (~6 ms/file) and the host->device plane transfer (the eval load
@@ -126,7 +126,12 @@ def _upload_wires_streaming(paths, block_rows: int = 256, block_cb=None,
     block_cb(s0, s1, a_dev, b_dev): optional hook invoked on the caller's
     thread as each block's transfer completes (in row order, after
     block_until_ready) — the pipelined scorer uses it to start block-pair
-    dispatches while later files are still parsing."""
+    dispatches while later files are still parsing.
+
+    host_cb(s0, s1, wa_blk, wb_blk): optional hook invoked with the HOST
+    row views the moment a block's rows are final, BEFORE its upload is
+    queued — the streaming -p engine projects/tiers from it.  stats_out
+    is forwarded to load_count_wires (live per-sample accumulators)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ntsm_tpu.io.countfile import load_count_wires
@@ -148,6 +153,8 @@ def _upload_wires_streaming(paths, block_rows: int = 256, block_cb=None,
         return d
 
     def cb(s0, s1, wa_blk, wb_blk):
+        if host_cb is not None:
+            host_cb(s0, s1, wa_blk, wb_blk)
         futs.append((s0, s1, ex.submit(_put, wa_blk), ex.submit(_put, wb_blk)))
         if block_cb is not None:
             # drain every COMPLETED transfer (don't block on in-flight
@@ -162,7 +169,7 @@ def _upload_wires_streaming(paths, block_rows: int = 256, block_cb=None,
     drained = [0]
     try:
         wires = load_count_wires(paths, block_cb=cb, block_rows=block_rows,
-                                 meta_cb=meta_cb)
+                                 meta_cb=meta_cb, stats_out=stats_out)
     except BaseException:
         ex.shutdown(wait=True)
         raise
@@ -211,20 +218,44 @@ def load_count_data_eval(paths, opts: Options):
         or getattr(opts, "only_merge", False)
         or getattr(opts, "debug", False)
         or jax.process_count() > 1
-        or _tpu._auto_mesh() is not None
+        # -a shards [N, N] stats over the mesh (plain loader feeds it);
+        # -p is single-device either way, so it streams under a mesh too
+        or (_tpu._auto_mesh() is not None and not getattr(opts, "pca", None))
     ):
         return load_count_data(paths, opts)
     # pipelined -a scoring: a RectScorer created as soon as the first
     # file fixes the site count consumes the uploaded blocks DURING the
     # parse, so pair scoring and the statistic fetch overlap the load
-    # phase (VERDICT r3 #1).  -p runs skip it (they score candidate
-    # pairs, not all-vs-all).
+    # phase (VERDICT r3 #1).  -p runs get the same treatment via the
+    # PcaStreamEngine (VERDICT r4 #1): projection/tier/candidate
+    # decisions ride the host rows and pair scoring the uploaded blocks.
     import os
 
     holder: dict = {}
     meta = None
     blk_cb = None
-    if not getattr(opts, "pca", None) and os.environ.get(
+    host_cb = None
+    stats_out: dict = {}
+    if getattr(opts, "pca", None) and not getattr(opts, "debug", False):
+        from ntsm_tpu.eval.pca_stream import PcaStreamEngine
+
+        def meta(L, N):
+            if N >= 2 and L <= _tpu.NARROW_WIRE_MAX_SITES:
+                eng = PcaStreamEngine(N, L, L + ((-L) % CHUNK), opts)
+                eng.stats = stats_out
+                holder["pca"] = eng
+
+        def host_cb(s0, s1, wa_blk, wb_blk):
+            eng = holder.get("pca")
+            if eng is not None:
+                eng.add_host_block(s0, s1, wa_blk, wb_blk)
+
+        def blk_cb(s0, s1, a_dev, b_dev):
+            eng = holder.get("pca")
+            if eng is not None:
+                eng.add_dev_block(s0, s1, a_dev, b_dev)
+
+    elif not getattr(opts, "pca", None) and os.environ.get(
         "NTSM_EVAL_SQUARE", "0"
     ) in ("", "0"):
         from ntsm_tpu.eval.rect import CHUNK as _RC
@@ -241,13 +272,20 @@ def load_count_data_eval(paths, opts: Options):
             if sc is not None:
                 sc.add_rows(a_dev, b_dev)
 
-    res = _tpu._upload_wires_streaming(paths, block_cb=blk_cb, meta_cb=meta)
+    def _abort_engines():
+        for key in ("scorer", "pca"):
+            eng = holder.get(key)
+            if eng is not None:
+                eng.abort()
+
+    res = _tpu._upload_wires_streaming(
+        paths, block_cb=blk_cb, meta_cb=meta, host_cb=host_cb,
+        stats_out=stats_out,
+    )
     if res is None:
         # the streaming attempt already ran the full wire parse; don't
         # let the plain loader repeat it before its plane fallbacks
-        sc = holder.get("scorer")
-        if sc is not None:
-            sc.abort()
+        _abort_engines()
         return load_count_data(paths, opts, try_wires=False)
     wires, finish = res
     locus_ids, distinct, wa, wb, site_acc, samp_mc, samp_sum, tks, kss = wires
@@ -266,13 +304,15 @@ def load_count_data_eval(paths, opts: Options):
         ).prepare(opts)  # runs while the tail upload blocks are in flight
     except BaseException:
         finish.cancel()  # join the in-flight transfers, free the worker
-        sc = holder.get("scorer")
-        if sc is not None:
-            sc.abort()
+        _abort_engines()
         raise
     data.dev_planes = finish()
     sc = holder.get("scorer")
     if sc is not None:
         sc.finish_feed()
         data.rect_scorer = sc
+    eng = holder.get("pca")
+    if eng is not None:
+        eng.finish_feed()
+        data.pca_stream = eng
     return data

@@ -205,7 +205,7 @@ def load_count_arrays(paths):
 
 
 def load_count_wires(paths, pad_to: int = 256, block_cb=None,
-                     block_rows: int = 256, meta_cb=None):
+                     block_rows: int = 256, meta_cb=None, stats_out=None):
     """Wire-plane bulk loader: parses straight into the eval engine's
     padded u8 upload planes (u16 after escalation — see _store) plus the
     integer accumulators that replace the full [N, L, 2] planes
@@ -226,6 +226,13 @@ def load_count_wires(paths, pad_to: int = 256, block_cb=None,
     scorer sizes itself from it before any block lands.  On a None
     return (fallback) the caller must discard whatever the callbacks
     consumed.
+
+    stats_out (dict, optional) is filled — before the first block_cb —
+    with live references to the per-sample accumulators (samp_mc,
+    samp_sum, tks, kss [N] i64) and the first file's distinct [L, 2]:
+    rows [0, s1) are final whenever block_cb(s0, s1, ...) fires.  The
+    streaming -p engine derives its per-sample radius tiers from these
+    during the parse.
 
     Motivation: fresh multi-GB allocations first-touch at ~60 MB/s on this
     host (VM page-fault pathology, measured scripts/profile_eval_load.py);
@@ -301,6 +308,11 @@ def load_count_wires(paths, pad_to: int = 256, block_cb=None,
         wa[s, :L] = ra[:L]
         wb[s, :L] = rb[:L]
 
+    if stats_out is not None:
+        stats_out.update(
+            samp_mc=samp_mc, samp_sum=samp_sum, tks=tks, kss=kss,
+            distinct=dist[:L],
+        )
     _store(0, wa0, wb0)
     site_acc += acc0[:L]
     samp_mc[0], samp_sum[0] = samp

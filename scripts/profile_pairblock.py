@@ -35,7 +35,6 @@ N_SITES = 96287
 def main() -> None:
     n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 
-    import jax
     import jax.numpy as jnp
 
     import ntsm_tpu  # noqa: F401  (compile cache setup)

@@ -486,8 +486,16 @@ def test_negative_min_cov_pads_stay_invalid(rng):
                     assert float(st["score"][i, j]) == pytest.approx(
                         score, rel=5e-6, abs=5e-6)
 
-        # the -p pair-block kernel shares _genotype_planes; check it too
+        # the -p pair-block kernels share the pad-mask semantics; check
+        # both generations (the fused v2 kernel is the production path)
         import jax.numpy as jnp
+
+        from ntsm_tpu.eval.blob import _unpack_blob
+        from ntsm_tpu.eval.kernels import (
+            _chunk_planes,
+            _pair_block_stats_v2,
+            _pair_gather_g,
+        )
 
         A, B = T._device_planes(data)
         blob = np.asarray(
@@ -499,6 +507,18 @@ def test_negative_min_cov_pads_stay_invalid(rng):
         )
         _, n_exact, _ = pair_score(data, 0, 1, opts)
         assert int(blob[0, 0]) == n_exact
+
+        g = _pair_gather_g(A.shape[1])
+        F_t = _chunk_planes(A, B, g)
+        ll, iv, hi = _pair_block_stats_v2(
+            F_t, jnp.asarray(np.array([0], np.int32)),
+            jnp.asarray(np.array([1], np.int32)),
+            mc=float(mc), n_valid=data.n_sites, narrow=True, g=g,
+        )
+        _, iv8 = _unpack_blob(
+            np.asarray(ll), np.asarray(iv), np.asarray(hi)
+        )
+        assert int(iv8[0][0]) == n_exact
 
 
 def test_packed_wide_tier_beyond_17_bits(rng):

@@ -513,8 +513,8 @@ class PcaStreamEngine:
         else:
             keys_sorted = np.empty(0, np.int64)
             order = np.empty(0, np.int64)
-            ll_s = np.zeros((2, 0), np.float32)
-            int_s = np.zeros((5, 0), np.uint16)
+            ll_s = np.zeros((1, 0), np.float32)
+            int_s = np.zeros((6, 0), np.uint16)
             hi_s = np.zeros(0, np.uint8)
 
         M = len(enum)

@@ -58,16 +58,53 @@ BATCH = 8  # rects stacked per device->host fetch (the tunnel charges a
 # wire (19 B/entry vs the round-3 25) cuts the bytes another 24% at
 # the same transfer count.)
 
+# Diagonal rects (column block == row block) hold i >= j entries the
+# host scatter discards, and the cohort's ragged final row tile holds
+# j >= N pad rows — together 16% of fetched bytes at N=3202 (VERDICT r4
+# #2).  Diagonal rects therefore ship only their valid triangle via a
+# static row-major gather (8128 of 32768 entries at half 0, 24512 at
+# half 1), whose dj-sorted order makes "drop pad rows" a prefix slice;
+# ragged tiles' full rects slice their row dim device-side before the
+# stacked fetch.  Residual waste is the <=7-row slice round-up on one
+# tile — fetched bytes ~= 19 B x P(1 + eps), eps < 1%.
+_ROW_SLICE_PAD = 8  # ragged-tile row slice rounds up to this multiple
+
+
+@functools.lru_cache(maxsize=None)
+def _diag_host_idx(half: int):
+    """Valid-entry coordinates (dj, di) of a diagonal rect half, ordered
+    row-major by dj (i < j within the block: di < half*ROWS + dj)."""
+    dj, di = np.nonzero(
+        np.arange(COLS)[None, :] < (np.arange(ROWS)[:, None] + half * ROWS)
+    )
+    return dj.astype(np.int64), di.astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _diag_flat_dev(half: int):
+    dj, di = _diag_host_idx(half)
+    return jnp.asarray((dj * COLS + di).astype(np.int32))
+
+
+def _rect_diag_parts(parts, half: int, vr: int):
+    """Gather a diagonal rect's valid triangle on device (values are the
+    untouched _rect_block_stats entries — bitwise identical to the full
+    rect).  vr < ROWS additionally prefix-drops pad rows (dj >= vr)."""
+    ll, ints, hi = parts
+    flat = _diag_flat_dev(half)
+    if vr < ROWS:
+        dj, _ = _diag_host_idx(half)
+        flat = flat[: int(np.searchsorted(dj, vr))]
+    g = lambda x: x.reshape(x.shape[0], -1)[:, flat]  # noqa: E731
+    return g(ll), g(ints), (None if hi is None else hi.reshape(-1)[flat])
+
 
 def _f32mm(x, y):
     return jnp.dot(x, y.T, preferred_element_type=jnp.float32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mc", "chunk", "n_valid", "narrow")
-)
-def _rect_block_stats(ra, rb, r0, ca, cb, *, mc: float, chunk: int,
-                      n_valid, narrow: bool):
+def _rect_stats_impl(ra, rb, r0, ca, cb, *, mc: float, chunk: int,
+                     n_valid, narrow: bool):
     """Packed statistics for one [ROWS, COLS] rectangle of pairs.
 
     ra/rb: [COLS, Lp] wire-dtype count planes of the row block (the
@@ -131,6 +168,14 @@ def _rect_block_stats(ra, rb, r0, ca, cb, *, mc: float, chunk: int,
     ll = jnp.stack([-2.0 * dh, -2.0 * dl])
     ints = jnp.stack([n, ibs0, shet, hets_col, hets_row])
     return _narrow_ints(ll, ints, narrow)
+
+
+_rect_block_stats = functools.partial(
+    jax.jit, static_argnames=("mc", "chunk", "n_valid", "narrow")
+)(_rect_stats_impl)
+# the un-jitted impl is shared with the mesh engine's shard_map body
+# (eval/rect_mesh.py) — identical op sequence, so single-device and mesh
+# rect results are bitwise equal
 
 
 class RectScorer:
@@ -250,22 +295,33 @@ class RectScorer:
         import time
 
         tr = self._tr
-        pend: list[tuple] = []  # [(t0, k0, (ll, ints, hi)), ...]
+        # rect batches are stacked per KIND (full rects at a given row
+        # slice; diagonal triangles at a given half+length) so every
+        # stack is rectangular; all kinds but ("full", ROWS) are rare
+        # (one diagonal per tile, ragged slices only on the final tile)
+        pend: dict[tuple, list] = {}
 
-        def flush() -> None:
-            if not pend:
+        def flush(kind) -> None:
+            items = pend.get(kind)
+            if not items:
                 return
-            metas = [(t0, k0) for t0, k0, _ in pend]
-            lls = jnp.stack([p[0] for _, _, p in pend])
-            ints = jnp.stack([p[1] for _, _, p in pend])
+            metas = [(t0, k0, kind) for t0, k0, _ in items]
+            lls = jnp.stack([p[0] for _, _, p in items])
+            ints = jnp.stack([p[1] for _, _, p in items])
             his = (
-                None if pend[0][2][2] is None
-                else jnp.stack([p[2] for _, _, p in pend])
+                None if items[0][2][2] is None
+                else jnp.stack([p[2] for _, _, p in items])
             )
-            pend.clear()
+            items.clear()
             _t = time.perf_counter()
             self._results.put((metas, lls, ints, his))
             tr["disp_bp"] += time.perf_counter() - _t
+
+        def add(kind, t0, k0, parts) -> None:
+            items = pend.setdefault(kind, [])
+            items.append((t0, k0, parts))
+            if len(items) == BATCH:
+                flush(kind)
 
         try:
             while True:
@@ -273,13 +329,16 @@ class RectScorer:
                 item = self._work.get()
                 tr["disp_idle"] += time.perf_counter() - _t
                 if item is None:
-                    flush()
+                    for kind in list(pend):
+                        flush(kind)
                     tr["t_disp_done"] = time.perf_counter()
                     self._results.put(None)
                     return
                 bidx, half = item
                 ra, rb = self.blocks[bidx]
                 r0 = half * ROWS
+                t0 = bidx * COLS + r0
+                vr = min(ROWS, self.N - t0)  # valid (non-pad) rows
                 for k in range(bidx + 1):
                     ca, cb = self.blocks[k]
                     _t = time.perf_counter()
@@ -288,11 +347,29 @@ class RectScorer:
                         mc=self.mc, chunk=CHUNK, n_valid=self.n_sites,
                         narrow=self.narrow,
                     )
+                    if k == bidx:
+                        # diagonal: ship only the i<j triangle (minus
+                        # pad rows) — a static device gather
+                        parts = _rect_diag_parts(parts, half, vr)
+                        kind = ("diag", half, int(parts[0].shape[1]))
+                    elif vr < ROWS:
+                        # ragged final tile: slice pad rows off before
+                        # the stacked fetch (rounded for one compile)
+                        vr8 = min(
+                            ROWS,
+                            -(-vr // _ROW_SLICE_PAD) * _ROW_SLICE_PAD,
+                        )
+                        ll, iv, hi = parts
+                        parts = (
+                            ll[:, :vr8], iv[:, :vr8],
+                            None if hi is None else hi[:vr8],
+                        )
+                        kind = ("full", vr8)
+                    else:
+                        kind = ("full", ROWS)
                     tr["disp_issue"] += time.perf_counter() - _t
                     tr["n_rects"] += 1
-                    pend.append((bidx * COLS + r0, k * COLS, parts))
-                    if len(pend) == BATCH:
-                        flush()
+                    add(kind, t0, k * COLS, parts)
         except BaseException as e:  # noqa: BLE001
             self._exc.append(e)
             self._results.put(None)
@@ -319,10 +396,10 @@ class RectScorer:
                     0 if his is None else his.nbytes
                 )
                 _t = time.perf_counter()
-                for x, (t0, k0) in enumerate(metas):
+                for x, (t0, k0, kind) in enumerate(metas):
                     self._finalize_scatter(
                         t0, k0, lls[x], ints[x],
-                        None if his is None else his[x],
+                        None if his is None else his[x], kind,
                     )
                 tr["scatter"] += time.perf_counter() - _t
         except BaseException as e:  # noqa: BLE001
@@ -335,28 +412,43 @@ class RectScorer:
                 except queue.Empty:
                     return
 
-    def _finalize_scatter(self, t0: int, k0: int, ll, ints, hi) -> None:
+    def _finalize_scatter(self, t0: int, k0: int, ll, ints, hi,
+                          kind=("full", ROWS)) -> None:
         """Finalize one fetched rect's pairs into the [P, 3]/[P, 9]
         column arrays: unpack the wire, combine the compensated loglik in
         f64, and run the cov-independent column math (_pair_columns).
         Per-pair arithmetic is identical to the end-of-run
-        _finalize_packed path it replaces (all elementwise ops)."""
+        _finalize_packed path it replaces (all elementwise ops).
+
+        kind ("full", rows): ll is [2, rows, COLS] (rows < ROWS on the
+        ragged final tile); kind ("diag", half, V): ll is [2, V], the
+        static i<j triangle gather of _rect_diag_parts — every entry
+        valid by construction."""
         from ntsm_tpu.eval.blob import _unpack_blob
         from ntsm_tpu.eval.emit import _pair_columns
 
         N = self.N
-        jj = np.arange(t0, t0 + ROWS, dtype=np.int64)[:, None]
-        ii = np.arange(k0, k0 + COLS, dtype=np.int64)[None, :]
-        valid = (ii < jj) & (jj < N)
-        if not valid.any():
-            return
-        # triu-major pair index: p = i·N − i(i+1)/2 + (j − i − 1)
-        p = ii * N - (ii * (ii + 1)) // 2 + (jj - ii - 1)
-        pv = p[valid]
-        llp, iv = _unpack_blob(
-            ll[:, valid], ints[:, valid],
-            None if hi is None else hi[valid],
-        )
+        if kind[0] == "diag":
+            dj, di = _diag_host_idx(kind[1])
+            V = kind[2]
+            jj1 = t0 + dj[:V]
+            ii1 = k0 + di[:V]
+            pv = ii1 * N - (ii1 * (ii1 + 1)) // 2 + (jj1 - ii1 - 1)
+            llp, iv = _unpack_blob(ll, ints, hi)
+        else:
+            rows = kind[1]
+            jj = np.arange(t0, t0 + rows, dtype=np.int64)[:, None]
+            ii = np.arange(k0, k0 + COLS, dtype=np.int64)[None, :]
+            valid = (ii < jj) & (jj < N)
+            if not valid.any():
+                return
+            # triu-major pair index: p = i·N − i(i+1)/2 + (j − i − 1)
+            p = ii * N - (ii * (ii + 1)) // 2 + (jj - ii - 1)
+            pv = p[valid]
+            llp, iv = _unpack_blob(
+                ll[:, valid], ints[:, valid],
+                None if hi is None else hi[valid],
+            )
         lls = llp[0].astype(np.float64) + llp[1].astype(np.float64)
         # f3[:, 0] gets the RAW loglik; result() applies the skew/score
         # transform once cov is complete

@@ -391,6 +391,13 @@ class PcaStreamEngine:
                 item = self._work_q.get()
                 tr["disp_idle"] += time.perf_counter() - _t
                 if item is None:
+                    if held:  # invariant: all dev blocks precede the
+                        # sentinel (load_count_data_eval finishes the
+                        # uploads before finish_feed)
+                        raise RuntimeError(
+                            f"{sum(len(h[1]) for h in held)} decided "
+                            "pairs never saw their device rows"
+                        )
                     issue(final=True)
                     flush_out()
                     tr["t_disp_done"] = time.perf_counter()

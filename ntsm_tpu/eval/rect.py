@@ -81,9 +81,13 @@ def _diag_host_idx(half: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _diag_flat_dev(half: int):
+def _diag_flat_np(half: int) -> np.ndarray:
+    """Flat [V] gather indices of a diagonal rect half.  HOST array on
+    purpose: caching a jnp array here once leaked a tracer (first call
+    landing inside a shard_map trace poisoned the cache for every later
+    compile) — callers convert per use, a constant per compiled kind."""
     dj, di = _diag_host_idx(half)
-    return jnp.asarray((dj * COLS + di).astype(np.int32))
+    return (dj * COLS + di).astype(np.int32)
 
 
 def _rect_diag_parts(parts, half: int, vr: int):
@@ -91,10 +95,11 @@ def _rect_diag_parts(parts, half: int, vr: int):
     untouched _rect_block_stats entries — bitwise identical to the full
     rect).  vr < ROWS additionally prefix-drops pad rows (dj >= vr)."""
     ll, ints, hi = parts
-    flat = _diag_flat_dev(half)
+    flat = _diag_flat_np(half)
     if vr < ROWS:
         dj, _ = _diag_host_idx(half)
         flat = flat[: int(np.searchsorted(dj, vr))]
+    flat = jnp.asarray(flat)
     g = lambda x: x.reshape(x.shape[0], -1)[:, flat]  # noqa: E731
     return g(ll), g(ints), (None if hi is None else hi.reshape(-1)[flat])
 
@@ -118,8 +123,10 @@ def _rect_stats_impl(ra, rb, r0, ca, cb, *, mc: float, chunk: int,
     shapes, preserving per-entry op order — scores match the round-3
     packed path bitwise, integer tallies are exact."""
     Lp = ra.shape[1]
-    ra = jax.lax.dynamic_slice(ra, (r0, 0), (ROWS, Lp)).astype(jnp.float32)
-    rb = jax.lax.dynamic_slice(rb, (r0, 0), (ROWS, Lp)).astype(jnp.float32)
+    r0 = jnp.asarray(r0, jnp.int32)
+    z = jnp.int32(0)
+    ra = jax.lax.dynamic_slice(ra, (r0, z), (ROWS, Lp)).astype(jnp.float32)
+    rb = jax.lax.dynamic_slice(rb, (r0, z), (ROWS, Lp)).astype(jnp.float32)
     ca = ca.astype(jnp.float32)
     cb = cb.astype(jnp.float32)
     mcf = jnp.float32(mc)
@@ -549,17 +556,24 @@ def stream_rect_rows(data, opts, out) -> None:
     already ran during the parse) or build one from the device planes,
     then apply the score transform and format — the only end-of-run host
     math is the [P] skew pass and the native row formatting."""
-    from ntsm_tpu.eval import tpu as _tpu
-    from ntsm_tpu.eval.emit import _emit_prepared, _sample_strings
     from ntsm_tpu.eval.wire import _device_planes
-
-    import time
 
     scorer = getattr(data, "rect_scorer", None)
     if scorer is None:
         scorer = make_scorer_for_planes(data, opts, _device_planes(data))
     else:
         data.rect_scorer = None  # consumed
+    _result_and_emit(scorer, data, opts, out)
+
+
+def _result_and_emit(scorer, data, opts, out) -> None:
+    """Shared tail of the rect engines (single-device and mesh): join
+    the scorer, apply the cov-skew score transform, format natively."""
+    from ntsm_tpu.eval import tpu as _tpu
+    from ntsm_tpu.eval.emit import _emit_prepared, _sample_strings
+
+    import time
+
     t0 = time.perf_counter()
     f3, i9 = scorer.result(data.cov)
     t_result = time.perf_counter() - t0

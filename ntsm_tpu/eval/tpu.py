@@ -255,8 +255,9 @@ def _stream_packed_rows(data: CountData, opts: Options, out, mesh=None) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     N = data.n_samples
+    square = os.environ.get("NTSM_EVAL_SQUARE", "0") not in ("", "0")
     if mesh is None:
-        if os.environ.get("NTSM_EVAL_SQUARE", "0") in ("", "0"):
+        if not square:
             from ntsm_tpu.eval.rect import stream_rect_rows
 
             stream_rect_rows(data, opts, out)
@@ -273,6 +274,19 @@ def _stream_packed_rows(data: CountData, opts: Options, out, mesh=None) -> None:
             tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, data.n_sites
         )
     else:
+        if not square and jax.process_count() == 1:
+            # production mesh path: the rect engine sharded over the
+            # mesh (i<j-only, load overlap, 17 B/pair wire).  Multi-host
+            # keeps the square row-sharded path below — its block
+            # buffer/fetch contract is process-local (eval/rect_mesh.py).
+            from ntsm_tpu.eval.rect_mesh import stream_rect_rows_mesh
+
+            stream_rect_rows_mesh(data, opts, out, mesh)
+            return
+        sc = getattr(data, "rect_scorer", None)
+        if sc is not None:
+            sc.abort()
+            data.rect_scorer = None
         tallies_m, s1_m, joint_m = _mesh_stat_planes(data, opts, mesh)
         parts = _replicate_tree(
             mesh, _pack_mesh_blob(tallies_m, s1_m, joint_m, N, data.n_sites)

@@ -107,7 +107,8 @@ def _device_planes(data) -> tuple:
 
 
 def _upload_wires_streaming(paths, block_rows: int = 256, block_cb=None,
-                            meta_cb=None, host_cb=None, stats_out=None):
+                            meta_cb=None, host_cb=None, stats_out=None,
+                            upload: bool = True):
     """Parse count files into wire planes while uploading each finished
     256-row block to the device on a worker thread — the host parse
     (~6 ms/file) and the host->device plane transfer (the eval load
@@ -131,7 +132,11 @@ def _upload_wires_streaming(paths, block_rows: int = 256, block_cb=None,
     host_cb(s0, s1, wa_blk, wb_blk): optional hook invoked with the HOST
     row views the moment a block's rows are final, BEFORE its upload is
     queued — the streaming -p engine projects/tiers from it.  stats_out
-    is forwarded to load_count_wires (live per-sample accumulators)."""
+    is forwarded to load_count_wires (live per-sample accumulators).
+
+    upload=False skips the per-block device transfers entirely (finish()
+    then returns None): the mesh rect engine replicates host blocks to
+    the mesh itself, so single-device planes would be dead weight."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ntsm_tpu.io.countfile import load_count_wires
@@ -155,6 +160,8 @@ def _upload_wires_streaming(paths, block_rows: int = 256, block_cb=None,
     def cb(s0, s1, wa_blk, wb_blk):
         if host_cb is not None:
             host_cb(s0, s1, wa_blk, wb_blk)
+        if not upload:
+            return
         futs.append((s0, s1, ex.submit(_put, wa_blk), ex.submit(_put, wb_blk)))
         if block_cb is not None:
             # drain every COMPLETED transfer (don't block on in-flight
@@ -173,9 +180,17 @@ def _upload_wires_streaming(paths, block_rows: int = 256, block_cb=None,
     except BaseException:
         ex.shutdown(wait=True)
         raise
-    if wires is None or not futs:
+    if wires is None or (upload and not futs):
         ex.shutdown(wait=True)
         return None
+    if not upload:
+        ex.shutdown(wait=True)
+
+        def finish_noop():
+            return None
+
+        finish_noop.cancel = lambda: None
+        return wires, finish_noop
 
     def finish():
         try:
@@ -212,15 +227,18 @@ def load_count_data_eval(paths, opts: Options):
     from ntsm_tpu.eval import tpu as _tpu
     from ntsm_tpu.eval.model import CountData, load_count_data
 
+    import os
+
+    mesh = _tpu._auto_mesh()
+    square = os.environ.get("NTSM_EVAL_SQUARE", "0") not in ("", "0")
     if (
         getattr(opts, "engine", "tpu") == "exact"
         or len(paths) < 2
         or getattr(opts, "only_merge", False)
         or getattr(opts, "debug", False)
-        or jax.process_count() > 1
-        # -a shards [N, N] stats over the mesh (plain loader feeds it);
-        # -p is single-device either way, so it streams under a mesh too
-        or (_tpu._auto_mesh() is not None and not getattr(opts, "pca", None))
+        or jax.process_count() > 1  # multi-host: square mesh path, plain
+        # loader (the rect-mesh block buffer is process-local)
+        or (mesh is not None and square and not getattr(opts, "pca", None))
     ):
         return load_count_data(paths, opts)
     # pipelined -a scoring: a RectScorer created as soon as the first
@@ -258,19 +276,35 @@ def load_count_data_eval(paths, opts: Options):
     elif not getattr(opts, "pca", None) and os.environ.get(
         "NTSM_EVAL_SQUARE", "0"
     ) in ("", "0"):
-        from ntsm_tpu.eval.rect import CHUNK as _RC
-        from ntsm_tpu.eval.rect import RectScorer
+        if mesh is not None:
+            # mesh rect engine: fed host rows; it replicates blocks to
+            # the mesh itself, so the single-device uploads are skipped
+            from ntsm_tpu.eval.rect_mesh import MeshRectScorer
 
-        def meta(L, N):
-            if N >= 2:
-                holder["scorer"] = RectScorer(
-                    N, L, L + ((-L) % _RC), opts
-                )
+            def meta(L, N):
+                if N >= 2:
+                    holder["scorer"] = MeshRectScorer(
+                        N, L, L + ((-L) % CHUNK), opts, mesh
+                    )
 
-        def blk_cb(s0, s1, a_dev, b_dev):
-            sc = holder.get("scorer")
-            if sc is not None:
-                sc.add_rows(a_dev, b_dev)
+            def host_cb(s0, s1, wa_blk, wb_blk):
+                sc = holder.get("scorer")
+                if sc is not None:
+                    sc.add_host_rows(wa_blk, wb_blk)
+
+        else:
+            from ntsm_tpu.eval.rect import RectScorer
+
+            def meta(L, N):
+                if N >= 2:
+                    holder["scorer"] = RectScorer(
+                        N, L, L + ((-L) % CHUNK), opts
+                    )
+
+            def blk_cb(s0, s1, a_dev, b_dev):
+                sc = holder.get("scorer")
+                if sc is not None:
+                    sc.add_rows(a_dev, b_dev)
 
     def _abort_engines():
         for key in ("scorer", "pca"):
@@ -281,6 +315,7 @@ def load_count_data_eval(paths, opts: Options):
     res = _tpu._upload_wires_streaming(
         paths, block_cb=blk_cb, meta_cb=meta, host_cb=host_cb,
         stats_out=stats_out,
+        upload=blk_cb is not None or host_cb is None,
     )
     if res is None:
         # the streaming attempt already ran the full wire parse; don't

@@ -89,32 +89,47 @@ def main() -> None:
     )
 
     B, L = 32768, 256  # ~4.2 Mbase per step (150-300bp reads segment to 256)
+    AGG = 4  # the engine executes one scan-of-AGG per aggregated upload
+    # (count/engine.py group_exec; exp_scan_s.py: 47.6 -> 46.1 ms/batch)
     codes_np = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
     packed_np, vbits_np = pack_batch(codes_np)
-    packed = jnp.asarray(packed_np)
-    vbits = jnp.asarray(vbits_np)
+    fused = jnp.asarray(
+        np.stack(
+            [np.concatenate([packed_np, vbits_np], axis=1)] * AGG
+        )
+    )
     counts = jnp.zeros(n_kmers + 1, dtype=jnp.int32)
 
-    # compile + warmup (including the drain/fetch programs)
-    counts_w, diag = count_step_v3(
-        packed, vbits, tab.fp, tab.keys, tab.vals, counts, **kw
-    )
-    _ = np.asarray(jnp.stack([diag] * 16))
-    _ = int(counts_w[0])
+    import functools
 
-    iters, drain = 32, 16
+    @functools.partial(jax.jit, donate_argnums=(4,))
+    def scan_group(fused_g, fp_t, keys_t, vals_t, counts_in):
+        def body(c, f):
+            pk = f[:, : L // 4]
+            vb = f[:, L // 4 :]
+            c, d = count_step_v3(pk, vb, fp_t, keys_t, vals_t, c, **kw)
+            return c, d
+
+        return jax.lax.scan(body, counts_in, fused_g)
+
+    # compile + warmup (including the drain/fetch programs)
+    counts, diags = scan_group(fused, tab.fp, tab.keys, tab.vals, counts)
+    _ = np.asarray(jnp.concatenate([diags] * 4))
+    _ = int(counts[0])
+
+    iters, drain = 32, 16  # batches; drained one RTT per `drain` batches
     pending = []
     t0 = time.perf_counter()
-    for i in range(iters):
-        counts, diag = count_step_v3(
-            packed, vbits, tab.fp, tab.keys, tab.vals, counts, **kw
+    for i in range(iters // AGG):
+        counts, diags = scan_group(
+            fused, tab.fp, tab.keys, tab.vals, counts
         )
-        pending.append(diag)
-        if len(pending) >= drain:
-            _ = np.asarray(jnp.stack(pending))  # one tunnel RTT per window
+        pending.append(diags)
+        if len(pending) * AGG >= drain:
+            _ = np.asarray(jnp.concatenate(pending))  # one RTT per window
             pending.clear()
     if pending:
-        _ = np.asarray(jnp.stack(pending))
+        _ = np.asarray(jnp.concatenate(pending))
     _ = int(counts[0])
     dt = time.perf_counter() - t0
     bases_per_s = iters * B * L / dt

@@ -314,10 +314,45 @@ def run_count_v3(
     # Batches are STAGED and uploaded AGG at a time as one [AGG, B, L*3/8]
     # array: each host->device transfer carries a fixed ~50 ms cost on the
     # tunneled runtime, which capped per-batch (3 MB) uploads at ~58 MB/s
-    # while bulk transfers reach 6x that (scripts/exp_upload_agg.py);
-    # the consumer receives per-batch device
-    # slices, so step shapes and -m batch-boundary semantics are unchanged.
+    # while bulk transfers reach 6x that (scripts/exp_upload_agg.py).
+    #
+    # On the pure-throughput path the consumer also EXECUTES the group as
+    # one scan-of-AGG dispatch (VERDICT r4 #7 re-adjudication:
+    # exp_scan_s.py re-measured 2026-08-20 — S=1 47.6, S=2 46.5, S=4/8
+    # 46.1 ms/batch, i.e. +3.1%; the r3 "9%" BASELINE note was stale).
+    # Diagnostics stay per batch (scan stacks them), so drains, overflow
+    # retries and accounting are unchanged.  Grouped execution is gated
+    # OFF whenever per-batch cut points are observable — -m early
+    # termination (the pinned fixture's totals count every dispatched
+    # batch, and a group dispatches AGG at once), fault injection, or a
+    # checkpoint cadence not divisible by AGG (a snapshot must describe
+    # exactly batch_idx batches) — so every pinned semantic is bit-exact.
     AGG = 4
+    group_exec = (
+        mesh is None
+        and not check_term
+        and config.fail_after_batches is None
+        and (not config.checkpoint_path
+             or config.checkpoint_every % AGG == 0)
+    )
+    scan_group = None
+    if group_exec:
+        import functools as _ft
+
+        @_ft.partial(jax.jit, donate_argnums=(4,))
+        def _scan_group(fused_g, fp_t, keys_t, vals_t, counts_in):
+            def body(c, f):
+                pk_s, vb_s = split_fused(f, config.segment_len)
+                c, d = count_step_v3(
+                    pk_s, vb_s, fp_t, keys_t, vals_t, c, **kw
+                )
+                return c, d
+
+            return jax.lax.scan(body, counts_in, fused_g)
+
+        def scan_group(fused_g, counts_in):
+            return _scan_group(fused_g, tab.fp, tab.keys, tab.vals,
+                               counts_in)
     upload_q: _queue.Queue = _queue.Queue(
         maxsize=max(config.upload_depth, AGG + 1)
     )
@@ -345,7 +380,13 @@ def run_count_v3(
             fused_np = np.stack([f for f, _ in staged])
             wire_nbytes[0] += fused_np.nbytes
             dev = jnp.asarray(fused_np)
-            ok = all(_qput((dev[i], b)) for i, (_, b) in enumerate(staged))
+            if group_exec and len(staged) == AGG:
+                # one queue item = one scan-of-AGG dispatch downstream
+                ok = _qput((dev, [b for _, b in staged]))
+            else:
+                ok = all(
+                    _qput((dev[i], b)) for i, (_, b) in enumerate(staged)
+                )
             staged.clear()
             return ok
 
@@ -382,20 +423,30 @@ def run_count_v3(
                     raise prod_err[0]
                 break
             fused, batch = item
-            batch_idx += 1
             _t = _time.monotonic()
-            pk, vb = split_fused(fused, config.segment_len)
-            if mesh is None:
-                counts, diag = count_step_v3(
-                    pk, vb, tab.fp, tab.keys, tab.vals, counts, **kw
-                )
+            if isinstance(batch, list):
+                # whole upload group as ONE scan-of-AGG dispatch
+                # (group_exec path); diags stay per batch
+                counts, diags = scan_group(fused, counts)
+                for i, b in enumerate(batch):
+                    batch_idx += 1
+                    total_bases += b.n_bases
+                    total_reads += b.n_reads
+                    pending.append((diags[i], b.codes))
             else:
-                counts, diag = sharded_step(
-                    pk, vb, tab.fp, tab.keys, tab.vals, counts
-                )
-            total_bases += batch.n_bases
-            total_reads += batch.n_reads
-            pending.append((diag, batch.codes))
+                batch_idx += 1
+                pk, vb = split_fused(fused, config.segment_len)
+                if mesh is None:
+                    counts, diag = count_step_v3(
+                        pk, vb, tab.fp, tab.keys, tab.vals, counts, **kw
+                    )
+                else:
+                    counts, diag = sharded_step(
+                        pk, vb, tab.fp, tab.keys, tab.vals, counts
+                    )
+                total_bases += batch.n_bases
+                total_reads += batch.n_reads
+                pending.append((diag, batch.codes))
             stage_t["dispatch"] += _time.monotonic() - _t
             _t = _time.monotonic()
             if len(pending) >= 2 * window:

@@ -102,6 +102,7 @@ class MeshRectScorer(RectScorer):
         self.D = int(mesh.devices.size)
         self._host_staged: list = []
         self._host_staged_rows = 0
+        self._n_blocks_fed = 0
         super().__init__(n_samples, n_sites, Lp, opts)
 
     # -- feeding: host rows instead of device pieces --------------------
@@ -146,8 +147,9 @@ class MeshRectScorer(RectScorer):
         L = min(a.shape[1], self.Lp)
         blk[0, : a.shape[0], :L] = a[:, :L]
         blk[1, : b.shape[0], :L] = b[:, :L]
-        bidx = self._n_blocks_fed = getattr(self, "_n_blocks_fed", 0) + 1
-        self._work.put(("blk", bidx - 1, blk))
+        bidx = self._n_blocks_fed
+        self._n_blocks_fed += 1
+        self._work.put(("blk", bidx, blk))
 
     # -- dispatcher: replicate blocks, stack same-kind rects ------------
     def _dispatch_loop(self) -> None:

@@ -136,6 +136,44 @@ def test_stream_matches_legacy_end_to_end(tmp_path, rng, n_samples):
     "not __import__('ntsm_tpu.native', fromlist=['native']).available()",
     reason="native library unavailable",
 )
+def test_stream_catchup_recovers_dropped_pairs(tmp_path, rng, monkeypatch):
+    """Robustness guard: if the streamed decision misses pairs (here:
+    sabotaged to drop every 3rd decision), the end-of-run enumeration
+    must catch-up-score them and the output stays byte-identical."""
+    import ntsm_tpu.eval.pca_stream as PS
+    from ntsm_tpu.eval.driver import run_eval
+    from ntsm_tpu.eval.tpu import load_count_data_eval
+
+    paths, rot, norm = _write_cohort(tmp_path, rng, 14, 45)
+    opts = Options(all=True, pca=rot, norm=norm, engine="tpu", dim=4)
+
+    data_ok = load_count_data_eval(paths, opts)
+    assert getattr(data_ok, "pca_stream", None) is not None
+    b_ok = io.StringIO()
+    run_eval(data_ok, opts, b_ok)
+
+    real_decide = PS._decide_new_block
+
+    def lossy_decide(sq, radii, s0, s1, INF):
+        ii, kk = real_decide(sq, radii, s0, s1, INF)
+        keep = np.arange(ii.shape[0]) % 3 != 0
+        return ii[keep], kk[keep]
+
+    monkeypatch.setattr(PS, "_decide_new_block", lossy_decide)
+    data_lossy = load_count_data_eval(paths, opts)
+    eng = getattr(data_lossy, "pca_stream", None)
+    assert eng is not None
+    b_lossy = io.StringIO()
+    run_eval(data_lossy, opts, b_lossy)
+
+    assert b_ok.getvalue() == b_lossy.getvalue()
+    assert b_ok.getvalue().count("\n") > 10
+
+
+@pytest.mark.skipif(
+    "not __import__('ntsm_tpu.native', fromlist=['native']).available()",
+    reason="native library unavailable",
+)
 def test_stream_thresholded_mode(tmp_path, rng):
     """Non--a mode (score threshold filtering) through the streamed
     engine matches the host reference loop's emitted pair set."""

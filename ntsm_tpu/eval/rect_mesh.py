@@ -21,9 +21,16 @@ only after the load.  This engine keeps the single-device rect design:
 
 Replication traffic is one [2, COLS, Lp] block broadcast per 256
 samples (~100 MB at the human site count) — the same bytes the
-single-device path uploads, broadcast over ICI.  Multi-host meshes keep
-the square path (the block buffer is process-local here); a process
-count guard routes them there.
+single-device path uploads, broadcast over ICI.
+
+Multi-host: every process parses every count file (the established
+multi-host eval contract — cli/eval_cmd.py buffers rank-0 output) and
+feeds the identical deterministic block/dispatch sequence, so the
+per-process jit/collective calls rendezvous in lockstep; stacked rect
+outputs are resharded to replicated before the host fetch (each process
+then reads its local copy — no per-fetch collective).  The 2-process
+gloo cluster pins byte-parity vs the single-process mesh
+(tests/test_distributed.py).
 
 Reference being beaten: the OpenMP pair loop of computeScore,
 /root/reference/src/CompareCounts.hpp:591-624, at N-chip scale."""
@@ -200,9 +207,9 @@ class MeshRectScorer(RectScorer):
             tr["disp_issue"] += time.perf_counter() - _t
             tr["n_rects"] += len(take)
             _t = time.perf_counter()
-            self._results.put(
-                (metas, lls, ints, his if self.narrow else None)
-            )
+            # his is always a device stack here (dummy zeros on the wide
+            # tier); the fetch loop drops it for wide after the fetch
+            self._results.put((metas, lls, ints, his))
             tr["disp_bp"] += time.perf_counter() - _t
 
         try:
@@ -252,10 +259,27 @@ class MeshRectScorer(RectScorer):
             self._exc.append(e)
             self._results.put(None)
 
+    def _replicate(self, lls, ints, his):
+        """jit identity resharding the stacked rect parts to replicated
+        (multi-host fetch path); one cached program per part structure."""
+        from jax.sharding import NamedSharding
+
+        from ntsm_tpu.parallel.mesh import P
+
+        fn = self.__dict__.get("_rep_fn")
+        if fn is None:
+            rep = NamedSharding(self.mesh, P())
+            fn = self._rep_fn = jax.jit(
+                lambda a, b, c: (a, b, c),
+                out_shardings=(rep, rep, rep),
+            )
+        return fn(lls, ints, his)
+
     def _fetch_loop(self) -> None:
         """Same as the base fetch loop, but metas may contain None rows
         (dummy pad rects of a partial batch) and stacked parts arrive as
-        mesh-sharded arrays (np.asarray assembles single-process)."""
+        mesh-sharded arrays (np.asarray assembles single-process;
+        multi-host reshards to replicated first)."""
         import queue
         import time
 
@@ -270,9 +294,14 @@ class MeshRectScorer(RectScorer):
                     return
                 metas, lls, ints, his = item
                 _t = time.perf_counter()
+                if jax.process_count() > 1:
+                    # reshard to replicated so every process fetches its
+                    # local copy (np.asarray of a cross-process-sharded
+                    # array would touch non-addressable shards)
+                    lls, ints, his = self._replicate(lls, ints, his)
                 lls = np.asarray(lls)
                 ints = np.asarray(ints)
-                his = None if his is None else np.asarray(his)
+                his = np.asarray(his) if self.narrow else None
                 tr["fetch_get"] += time.perf_counter() - _t
                 live = sum(1 for m in metas if m is not None)
                 per = lls[0].nbytes + ints[0].nbytes + (

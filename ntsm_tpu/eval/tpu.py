@@ -274,11 +274,13 @@ def _stream_packed_rows(data: CountData, opts: Options, out, mesh=None) -> None:
             tallies_d, s1_d, jint_d, a_d, b_d, v_t, opts, N, data.n_sites
         )
     else:
-        if not square and jax.process_count() == 1:
-            # production mesh path: the rect engine sharded over the
-            # mesh (i<j-only, load overlap, 17 B/pair wire).  Multi-host
-            # keeps the square row-sharded path below — its block
-            # buffer/fetch contract is process-local (eval/rect_mesh.py).
+        if not square:
+            # production mesh path (single- AND multi-host): the rect
+            # engine sharded over the mesh — i<j-only rects, load
+            # overlap, 17 B/pair wire; multi-host processes feed the
+            # identical deterministic dispatch sequence and fetch
+            # replicated outputs (eval/rect_mesh.py).  The square
+            # row-sharded path below is NTSM_EVAL_SQUARE=1 A/B only.
             from ntsm_tpu.eval.rect_mesh import stream_rect_rows_mesh
 
             stream_rect_rows_mesh(data, opts, out, mesh)

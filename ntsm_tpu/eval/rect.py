@@ -55,8 +55,8 @@ BATCH = 8  # rects stacked per device->host fetch (the tunnel charges a
 # ~150 ms fixed cost per transfer: per-rect fetches were 546 RTTs for
 # 149 MB at N=3202 — RTT-bound at ~1.5 MB/s effective.  Stacking BATCH
 # rects device-side cuts that to ~3 calls per BATCH.  The 5-statistic
-# wire (19 B/entry vs the round-3 25) cuts the bytes another 24% at
-# the same transfer count.)
+# wire (17 B/entry with the bf16 loglik-lo row, vs round-3's 25 and
+# round-4's 19 — eval/blob.py) cuts bytes at the same transfer count.)
 
 # Diagonal rects (column block == row block) hold i >= j entries the
 # host scatter discards, and the cohort's ragged final row tile holds

@@ -39,21 +39,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _write_fastq(path: str, mbases: int, readlen: int, rng) -> None:
+    """Fixed-width records assembled as one byte matrix per chunk: the
+    per-read Python join measured ~10 min for 200 Mbase on this 1-core
+    host (and made tunnel hangs indistinguishable from the write)."""
     n_reads = mbases * 1_000_000 // readlen
     alpha = np.array([65, 67, 71, 84], dtype=np.uint8)
+    name_w = 12  # @r%09d\n
+    rec_w = name_w + readlen + 1 + 2 + readlen + 1
     with open(path, "wb") as fh:
-        qual = b"I" * readlen
         chunk = 50000
+        rec = np.empty((chunk, rec_w), np.uint8)
+        rec[:, name_w - 1] = 10
+        rec[:, name_w + readlen] = 10
+        rec[:, name_w + readlen + 1] = ord("+")
+        rec[:, name_w + readlen + 2] = 10
+        rec[:, name_w + readlen + 3 : rec_w - 1] = ord("I")
+        rec[:, rec_w - 1] = 10
         for c0 in range(0, n_reads, chunk):
             nn = min(chunk, n_reads - c0)
-            reads = alpha[rng.integers(0, 4, size=(nn, readlen))]
-            fh.write(
-                b"".join(
-                    b"@r%d\n" % (c0 + i) + reads[i].tobytes() + b"\n+\n"
-                    + qual + b"\n"
-                    for i in range(nn)
-                )
-            )
+            names = np.frombuffer(
+                b"".join(b"@r%09d\n" % (c0 + i) for i in range(nn)),
+                np.uint8,
+            ).reshape(nn, name_w)
+            rec[:nn, :name_w] = names
+            rec[:nn, name_w : name_w + readlen] = alpha[
+                rng.integers(0, 4, size=(nn, readlen))
+            ]
+            fh.write(rec[:nn].tobytes())
 
 
 def _make_table(rng):

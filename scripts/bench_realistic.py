@@ -4,7 +4,12 @@ Measures `run_count_v3` wall time (host read+pack+feed + device pipeline)
 on an N-Mbase synthetic 150bp FASTQ against a 96287-site / 2.5M-k-mer
 table, dense row packing on vs off.
 
-Usage: python scripts/bench_realistic.py [mbases] [readlen]
+Usage: python scripts/bench_realistic.py [mbases] [readlen] [seglen]
+
+seglen (default 256) sets the device row length: longer rows amortize
+the k-1 halo + separator packing overhead (0.273 B/base at 256 for
+150 bp reads; ~0.26 at 512) against the same windows/step shape when
+batch_reads is scaled inversely — the VERDICT r4 #3 wire lever.
 """
 
 import os
@@ -20,25 +25,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     mbases = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     readlen = int(sys.argv[2]) if len(sys.argv) > 2 else 150
+    seglen = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    batch = 32768 * 256 // seglen  # keep bases/step (and cand_k) fixed
     n_reads = mbases * 1_000_000 // readlen
     rng = np.random.default_rng(7)
+
+    from exp_link_ab import _write_fastq
 
     d = tempfile.mkdtemp(prefix="ntsm_realbench_")
     fq = os.path.join(d, "reads.fq")
     alpha = np.array([65, 67, 71, 84], dtype=np.uint8)
     t0 = time.perf_counter()
-    with open(fq, "wb") as fh:
-        qual = b"I" * readlen
-        chunk = 50000
-        for c0 in range(0, n_reads, chunk):
-            nn = min(chunk, n_reads - c0)
-            reads = alpha[rng.integers(0, 4, size=(nn, readlen))]
-            fh.write(
-                b"".join(
-                    b"@r%d\n" % (c0 + i) + reads[i].tobytes() + b"\n+\n" + qual + b"\n"
-                    for i in range(nn)
-                )
-            )
+    _write_fastq(fq, mbases, readlen, rng)
     print(f"# wrote {mbases} Mbase ({n_reads} reads) in {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)
 
@@ -80,18 +78,24 @@ def main():
             )
         )
     t0 = time.perf_counter()
-    run_count_v3(table, [warm], Options(), EngineConfig())
+    run_count_v3(table, [warm], Options(),
+                 EngineConfig(batch_reads=batch, segment_len=seglen))
     print(f"# warmup (table upload + exec load): {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)
 
-    for dense in (False, True):
-        cfg = EngineConfig(dense=dense)
+    modes = (True,) if os.environ.get("NTSM_BENCH_DENSE_ONLY") else (
+        False, True)
+    for dense in modes:
+        cfg = EngineConfig(dense=dense, batch_reads=batch,
+                           segment_len=seglen)
         t0 = time.perf_counter()
         res = run_count_v3(table, [fq], Options(verbose=verbose), cfg)
         dt = time.perf_counter() - t0
+        bpb = res.wire_bytes / max(res.total_bases, 1)
         print(
-            f"dense={dense}: {dt:6.1f} s -> {res.total_bases/dt/1e6:7.1f} Mbase/s "
-            f"(tk={res.total_kmers})"
+            f"dense={dense} L={seglen}: {dt:6.1f} s -> "
+            f"{res.total_bases/dt/1e6:7.1f} Mbase/s "
+            f"(tk={res.total_kmers}, wire {bpb:.3f} B/base)"
         )
 
 

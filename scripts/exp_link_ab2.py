@@ -53,16 +53,23 @@ def main() -> None:
     d = tempfile.mkdtemp(prefix="ntsm_linkab2_")
     try:
         fq = os.path.join(d, "reads.fq")
+        t0 = time.perf_counter()
         _write_fastq(fq, mbases, 150, rng)
+        print(f"# wrote {mbases} Mbase in {time.perf_counter()-t0:.0f} s",
+              file=sys.stderr, flush=True)
         table = _make_table(rng)
         tab = table_v3_for(table)
         cfg = EngineConfig()
         kw = dict(k=19, L=cfg.segment_len, n_buckets=tab.n_buckets,
                   slots=tab.slots, bbits=tab.bbits)
+        print("# table ready; warming up", file=sys.stderr, flush=True)
 
         warm = os.path.join(d, "warm.fq")
         _write_fastq(warm, 1, 150, rng)
+        t0 = time.perf_counter()
         res = run_count_v3(table, [warm], Options(), cfg)
+        print(f"# warmup {time.perf_counter()-t0:.0f} s", file=sys.stderr,
+              flush=True)
 
         t0 = time.perf_counter()
         res = run_count_v3(table, [fq], Options(), cfg)

@@ -203,3 +203,25 @@ def test_stream_thresholded_mode(tmp_path, rng):
         f2 = l2.split("\t")
         assert f1[:2] == f2[:2]
         assert f1[8:] == f2[8:]
+
+
+@pytest.mark.skipif(
+    "not __import__('ntsm_tpu.native', fromlist=['native']).available()",
+    reason="native library unavailable",
+)
+def test_stream_trace_smoke(tmp_path, rng, monkeypatch, capsys):
+    """NTSM_PCA_TRACE=1 exercises the attribution printf (a format bug
+    here would crash the cohort-scale profile run at its very end)."""
+    monkeypatch.setenv("NTSM_PCA_TRACE", "1")
+    from ntsm_tpu.eval.driver import run_eval
+    from ntsm_tpu.eval.tpu import load_count_data_eval
+
+    paths, rot, norm = _write_cohort(tmp_path, rng, 8, 30)
+    opts = Options(all=True, pca=rot, norm=norm, engine="tpu", dim=3)
+    data = load_count_data_eval(paths, opts)
+    assert getattr(data, "pca_stream", None) is not None
+    b = io.StringIO()
+    run_eval(data, opts, b)
+    err = capsys.readouterr().err
+    assert "[pca stream trace]" in err
+    assert b.getvalue().count("\n") == 8 * 7 // 2 + 1

@@ -174,7 +174,12 @@ class PcaStreamEngine:
         self._ft_dims = (Cg, Npad, w)
         self.F_t = None  # allocated lazily on the dispatcher thread
 
-        self._host_q: queue.Queue = queue.Queue(maxsize=4)
+        # items are VIEWS into the loader's planes (no copies), so a deep
+        # queue is free; a shallow one would backpressure the parse
+        # thread — and with it the plane uploads — while the host worker
+        # parses the rotation matrix (~1.9M strtold tokens, 10-30 s at
+        # the human scale, overlapped with the parse by design)
+        self._host_q: queue.Queue = queue.Queue(maxsize=64)
         self._work_q: queue.Queue = queue.Queue()
         self._results: queue.Queue = queue.Queue(maxsize=4)
         self._host_thread = threading.Thread(

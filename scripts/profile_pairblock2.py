@@ -42,8 +42,11 @@ def main() -> None:
     Lp = -(-N_SITES // CHUNK) * CHUNK
     N = 1024
     rng = np.random.default_rng(1)
-    A = jnp.asarray(rng.integers(0, 40, size=(N, Lp), dtype=np.uint8))
-    B = jnp.asarray(rng.integers(0, 40, size=(N, Lp), dtype=np.uint8))
+    # --u16 measures the streamed engine's gather-plane dtype (its block
+    # buffer is u16 so mid-stream count escalation never reallocates)
+    dt = np.uint16 if "--u16" in sys.argv else np.uint8
+    A = jnp.asarray(rng.integers(0, 40, size=(N, Lp)).astype(dt))
+    B = jnp.asarray(rng.integers(0, 40, size=(N, Lp)).astype(dt))
     planes = {}
     for g in (1, 4, 8, 16):
         planes[g] = _chunk_planes(A, B, g)

@@ -239,6 +239,15 @@ def pca_candidates(cloud: np.ndarray, radii: np.ndarray, dim: int,
     For r_i == DBL_MAX (exhaustive): skip j <= i only when r_j is also
     DBL_MAX; all finite-radius j are paired here.
     """
+    ii, kk = pca_candidate_arrays(cloud, radii, dim, sq=sq)
+    yield from zip(ii.tolist(), kk.tolist())
+
+
+def pca_candidate_arrays(cloud: np.ndarray, radii: np.ndarray, dim: int,
+                         sq: np.ndarray | None = None):
+    """pca_candidates as (ii, kk) int arrays in the identical emission
+    order, without materializing millions of pair tuples (the streamed
+    -p engine enumerates ~4M pairs at cohort scale)."""
     n = cloud.shape[0]
     c = cloud[:, :dim]
     if sq is None:
@@ -252,20 +261,27 @@ def pca_candidates(cloud: np.ndarray, radii: np.ndarray, dim: int,
         for r0 in range(0, n, BLK):
             r1 = min(r0 + BLK, n)
             sq[r0:r1] = ((c[r0:r1, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    idx = np.arange(n)
+    exhaust = radii >= DBL_MAX
+    # exhaustive searchers share one match list shape: every j except
+    # exhaustive j <= i (k order = index order)
+    parts_i: list = []
+    parts_k: list = []
     for i in range(n):
-        if radii[i] < DBL_MAX:
-            match = np.nonzero(sq[i] < radii[i])[0]
+        ri = radii[i]
+        if ri < DBL_MAX:
+            match = np.nonzero(sq[i] < ri)[0]
             order = match[np.argsort(sq[i][match], kind="stable")]
-            for k in order:
-                k = int(k)
-                if radii[i] == radii[k]:
-                    if k <= i:
-                        continue
-                elif radii[i] < radii[k]:
-                    continue
-                yield i, k
+            rk = radii[order]
+            keep = np.where(
+                rk == ri, order > i, rk < ri
+            )
+            ks = order[keep]
         else:
-            for j in range(n):
-                if radii[j] == DBL_MAX and j <= i:
-                    continue
-                yield i, j
+            ks = idx[~(exhaust & (idx <= i)) & (idx != i)]
+        if ks.size:
+            parts_i.append(np.full(ks.size, i, dtype=np.int64))
+            parts_k.append(ks.astype(np.int64))
+    if not parts_i:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(parts_i), np.concatenate(parts_k)

@@ -486,7 +486,7 @@ class PcaStreamEngine:
         cloud/radii/sq (order-exact vs compute_score_pca), look up each
         pair's streamed statistics, catch-up-score any the stream missed,
         and emit with the cov-skew transform."""
-        from ntsm_tpu.eval.pca import pca_candidates, search_radii
+        from ntsm_tpu.eval.pca import pca_candidate_arrays, search_radii
         from ntsm_tpu.eval.tpu import _emit_pca_block
         from ntsm_tpu.eval.emit import _load_row_formatter, _sample_strings
 
@@ -505,10 +505,8 @@ class PcaStreamEngine:
                 file=sys.stderr,
             )
         t0 = time.perf_counter()
-        enum = list(
-            pca_candidates(
-                self.cloud[:, : self.dim], radii, self.dim, sq=self.sq
-            )
+        enum_i, enum_k = pca_candidate_arrays(
+            self.cloud[:, : self.dim], radii, self.dim, sq=self.sq
         )
         t_enum = time.perf_counter() - t0
         cov = data.cov.astype(np.float64)
@@ -529,11 +527,9 @@ class PcaStreamEngine:
             int_s = np.zeros((6, 0), np.uint16)
             hi_s = np.zeros(0, np.uint8)
 
-        M = len(enum)
+        M = enum_i.shape[0]
         if M == 0:
             return
-        enum_i = np.fromiter((p[0] for p in enum), np.int64, M)
-        enum_k = np.fromiter((p[1] for p in enum), np.int64, M)
         want = enum_i * self.N + enum_k
         pos = np.searchsorted(keys_sorted, want)
         pos_c = np.minimum(pos, max(keys_sorted.shape[0] - 1, 0))

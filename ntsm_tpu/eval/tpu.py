@@ -323,13 +323,14 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     (~1e-9 relative, identical tallies); use --engine exact for bit-level
     output parity.
     """
-    from ntsm_tpu.eval.pca import pca_candidates, search_radii
+    from ntsm_tpu.eval.pca import pca_candidate_arrays, search_radii
 
     radii = search_radii(data, opts)
     out.write(HEADER)
     out.write("\n")
-    pairs = list(pca_candidates(cloud, radii, opts.dim))
-    if not pairs:
+    ii_all, jj_all = pca_candidate_arrays(cloud, radii, opts.dim)
+    n_pairs_all = int(ii_all.shape[0])
+    if not n_pairs_all:
         return
 
     A, B = _device_planes(data)
@@ -354,9 +355,8 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     # multiple); blocks slice it device-side.  Per-block jnp.asarray of
     # the 16 KB ii/jj arrays cost a ~50 ms round trip each — ~100 s of
     # pure upload latency at the N=3202 candidate count.
-    n_pairs_all = len(pairs)
-    ii_all = np.fromiter((p[0] for p in pairs), np.int32, n_pairs_all)
-    jj_all = np.fromiter((p[1] for p in pairs), np.int32, n_pairs_all)
+    ii_all = ii_all.astype(np.int32)
+    jj_all = jj_all.astype(np.int32)
     pad = (-n_pairs_all) % PAIR_BLOCK
     ii_dev = jnp.asarray(
         np.pad(ii_all, (0, pad), constant_values=int(ii_all[0]))
@@ -386,7 +386,7 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     # (28 B/pair as the all-f32 [7, P] fallback on wide-count cohorts).
     def _dispatch_group(g0: int):
         metas, lls, ints, his = [], [], [], []
-        end = min(g0 + PCA_FETCH_GROUP * PAIR_BLOCK, len(pairs))
+        end = min(g0 + PCA_FETCH_GROUP * PAIR_BLOCK, n_pairs_all)
         for blk0 in range(g0, end, PAIR_BLOCK):
             ii, jj, P, (ll, iv, hi) = _dispatch(blk0)
             metas.append((ii, jj, P))
@@ -412,9 +412,9 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     try:
         metas, stacked = _dispatch_group(0)
         fut = fetch_ex.submit(_fetch, stacked)
-        for g0 in range(0, len(pairs), group_step):
+        for g0 in range(0, n_pairs_all, group_step):
             cur_metas, blob_fut = metas, fut
-            if g0 + group_step < len(pairs):
+            if g0 + group_step < n_pairs_all:
                 metas, stacked = _dispatch_group(g0 + group_step)
                 fut = fetch_ex.submit(_fetch, stacked)
             lls, ivs, his = blob_fut.result()

@@ -17,6 +17,7 @@ ntsm_tpu/parallel/mesh.py.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import jax
@@ -335,7 +336,26 @@ def run_count_v3(
         and (not config.checkpoint_path
              or config.checkpoint_every % AGG == 0)
     )
+    # breaks wire (VERDICT r4 #3b): ship row_len + explicit invalid
+    # positions (18 B/row) instead of the [L/8] validity bitmask — a
+    # 15% wire cut at L=256 (96 -> 82 B/row), 24% at 512.  Per-batch:
+    # N-rich rows overflow the sidecar and that batch rides the legacy
+    # vbits wire (both step programs are compiled once).  Single-device
+    # XLA path only: the mesh step and the Pallas hash stage keep vbits.
+    use_breaks = (
+        mesh is None
+        and not config.pallas_hash
+        and os.environ.get("NTSM_VBITS_WIRE", "0") != "1"
+    )
+    if use_breaks:
+        from ntsm_tpu.count.kernel_v3 import (
+            breaks_sidecar,
+            count_step_v3_breaks,
+            split_fused_breaks,
+        )
+
     scan_group = None
+    scan_group_breaks = None
     if group_exec:
         import functools as _ft
 
@@ -353,6 +373,23 @@ def run_count_v3(
         def scan_group(fused_g, counts_in):
             return _scan_group(fused_g, tab.fp, tab.keys, tab.vals,
                                counts_in)
+
+        if use_breaks:
+
+            @_ft.partial(jax.jit, donate_argnums=(4,))
+            def _scan_group_b(fused_g, fp_t, keys_t, vals_t, counts_in):
+                def body(c, f):
+                    pk_s, sd_s = split_fused_breaks(f, config.segment_len)
+                    c, d = count_step_v3_breaks(
+                        pk_s, sd_s, fp_t, keys_t, vals_t, c, **kw
+                    )
+                    return c, d
+
+                return jax.lax.scan(body, counts_in, fused_g)
+
+            def scan_group_breaks(fused_g, counts_in):
+                return _scan_group_b(fused_g, tab.fp, tab.keys, tab.vals,
+                                     counts_in)
     upload_q: _queue.Queue = _queue.Queue(
         maxsize=max(config.upload_depth, AGG + 1)
     )
@@ -373,6 +410,9 @@ def run_count_v3(
     def _producer():
         it = iter(reader)
         staged: list = []  # (fused np, batch) awaiting one aggregated upload
+        staged_kind = [False]  # breaks wire? (a group must be homogeneous
+        # — the two wires have different row widths, so a kind change
+        # flushes the partial group onto the per-batch dispatch path)
 
         def flush() -> bool:
             if not staged:
@@ -380,12 +420,13 @@ def run_count_v3(
             fused_np = np.stack([f for f, _ in staged])
             wire_nbytes[0] += fused_np.nbytes
             dev = jnp.asarray(fused_np)
+            brk = staged_kind[0]
             if group_exec and len(staged) == AGG:
                 # one queue item = one scan-of-AGG dispatch downstream
-                ok = _qput((dev, [b for _, b in staged]))
+                ok = _qput((dev, [b for _, b in staged], brk))
             else:
                 ok = all(
-                    _qput((dev[i], b)) for i, (_, b) in enumerate(staged)
+                    _qput((dev[i], b, brk)) for i, (_, b) in enumerate(staged)
                 )
             staged.clear()
             return ok
@@ -396,8 +437,21 @@ def run_count_v3(
                 n += 1
                 if n <= skip_batches:
                     continue  # deterministic reader: parse-only skip on resume
-                packed, vbits = pack_batch_fast(batch.codes)
-                staged.append((fuse_packed(packed, vbits), batch))
+                side = (
+                    breaks_sidecar(batch.codes, batch.lengths)
+                    if use_breaks
+                    else None
+                )
+                if side is not None:
+                    packed, _ = pack_batch_fast(batch.codes)
+                    fused_b, brk = fuse_packed(packed, side), True
+                else:
+                    packed, vbits = pack_batch_fast(batch.codes)
+                    fused_b, brk = fuse_packed(packed, vbits), False
+                if staged and staged_kind[0] != brk and not flush():
+                    return
+                staged_kind[0] = brk
+                staged.append((fused_b, batch))
                 if len(staged) >= AGG and not flush():
                     return
             flush()
@@ -422,12 +476,14 @@ def run_count_v3(
                 if prod_err:
                     raise prod_err[0]
                 break
-            fused, batch = item
+            fused, batch, brk = item
             _t = _time.monotonic()
             if isinstance(batch, list):
                 # whole upload group as ONE scan-of-AGG dispatch
                 # (group_exec path); diags stay per batch
-                counts, diags = scan_group(fused, counts)
+                counts, diags = (
+                    scan_group_breaks if brk else scan_group
+                )(fused, counts)
                 for i, b in enumerate(batch):
                     batch_idx += 1
                     total_bases += b.n_bases
@@ -435,15 +491,21 @@ def run_count_v3(
                     pending.append((diags[i], b.codes))
             else:
                 batch_idx += 1
-                pk, vb = split_fused(fused, config.segment_len)
-                if mesh is None:
-                    counts, diag = count_step_v3(
-                        pk, vb, tab.fp, tab.keys, tab.vals, counts, **kw
+                if brk:
+                    pk, sd = split_fused_breaks(fused, config.segment_len)
+                    counts, diag = count_step_v3_breaks(
+                        pk, sd, tab.fp, tab.keys, tab.vals, counts, **kw
                     )
                 else:
-                    counts, diag = sharded_step(
-                        pk, vb, tab.fp, tab.keys, tab.vals, counts
-                    )
+                    pk, vb = split_fused(fused, config.segment_len)
+                    if mesh is None:
+                        counts, diag = count_step_v3(
+                            pk, vb, tab.fp, tab.keys, tab.vals, counts, **kw
+                        )
+                    else:
+                        counts, diag = sharded_step(
+                            pk, vb, tab.fp, tab.keys, tab.vals, counts
+                        )
                 total_bases += batch.n_bases
                 total_reads += batch.n_reads
                 pending.append((diag, batch.codes))

@@ -107,9 +107,44 @@ def unpack_codes(packed, vbits, L: int):
     return codes, valid
 
 
+SIDE_MAXB = 8  # invalid positions per row the breaks sidecar can carry
+SIDE_BYTES = 2 + 2 * SIDE_MAXB  # row_len u16 + SIDE_MAXB u16 positions
+
+
+def unpack_codes_breaks(packed, side, L: int):
+    """Device-side unpack for the BREAKS wire: validity is reconstructed
+    from a [B, SIDE_BYTES] u8 sidecar (row length + up to SIDE_MAXB
+    explicitly-invalid positions, little-endian u16s written bytewise by
+    breaks_sidecar) instead of a [B, L/8] per-slot bitmask.  Bit-identical
+    to unpack_codes' (codes, valid) whenever the sidecar fits (the
+    producer falls back to the vbits wire when it doesn't): slots past
+    row_len are pad (code 4 in the codes buffer, invalid either way) and
+    in-length invalid slots (separators, Ns) are enumerated exactly."""
+    codes = jnp.concatenate([(packed >> (2 * i)) & 3 for i in range(4)], axis=1)
+    s32 = side.astype(jnp.int32)
+    lens = s32[:, 0] | (s32[:, 1] << 8)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = pos < lens[:, None]
+    for j in range(SIDE_MAXB):
+        inv_j = s32[:, 2 + 2 * j] | (s32[:, 3 + 2 * j] << 8)
+        valid &= pos != inv_j[:, None]
+    return codes, valid
+
+
 def window_hashes_packed(packed, vbits, k: int, L: int):
     """Canonical hash + validity for every window, from packed input."""
     codes, base_valid = unpack_codes(packed, vbits, L)
+    return _window_hashes_from(codes, base_valid, k, L)
+
+
+def window_hashes_breaks(packed, side, k: int, L: int):
+    """window_hashes_packed for the breaks wire (same hash/mask ops on
+    the same reconstructed (codes, valid) -> bitwise-identical output)."""
+    codes, base_valid = unpack_codes_breaks(packed, side, L)
+    return _window_hashes_from(codes, base_valid, k, L)
+
+
+def _window_hashes_from(codes, base_valid, k: int, L: int):
     B, W = codes.shape[0], L - k + 1
     c = codes.astype(jnp.uint64)
     comp = jnp.uint64(3) ^ c

@@ -53,6 +53,45 @@ def fuse_packed(packed: np.ndarray, vbits: np.ndarray) -> np.ndarray:
     return np.concatenate([packed, vbits], axis=1)
 
 
+def breaks_sidecar(codes: np.ndarray, lengths: np.ndarray):
+    """Host side of the BREAKS wire (VERDICT r4 #3b): the [B, L/8]
+    validity bitmask is 1/3 of the fused wire, but almost all of its
+    information is 'slot is inside the row'; the exceptions (read
+    separators, N bases) are a handful of positions per row.  Encode
+    validity as row_len + up to SIDE_MAXB explicit invalid positions
+    (u16 LE, 0xFFFF pad): 18 B/row vs L/8 (32 B at L=256, 64 at 512).
+
+    Returns the [B, SIDE_BYTES] u8 sidecar, or None when any row has
+    more than SIDE_MAXB in-length invalid slots (N-rich input) — the
+    caller then ships the legacy vbits wire for that batch."""
+    from ntsm_tpu.count.kernel_v2 import SIDE_BYTES, SIDE_MAXB
+
+    B, L = codes.shape
+    lens = lengths.astype(np.int32)
+    inv_mask = codes > 3
+    inv_mask &= np.arange(L, dtype=np.int32)[None, :] < lens[:, None]
+    cnt = np.count_nonzero(inv_mask, axis=1)
+    if cnt.size and cnt.max() > SIDE_MAXB:
+        return None
+    side = np.empty((B, SIDE_BYTES), np.uint8)
+    side[:, 0] = lens & 0xFF
+    side[:, 1] = (lens >> 8) & 0xFF
+    inv = np.full((B, SIDE_MAXB), 0xFFFF, np.uint16)
+    r, c = np.nonzero(inv_mask)
+    if r.size:
+        starts = np.zeros(B, np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        inv[r, np.arange(r.size) - starts[r]] = c
+    side[:, 2::2] = (inv & 0xFF).astype(np.uint8)
+    side[:, 3::2] = (inv >> 8).astype(np.uint8)
+    return side
+
+
+def split_fused_breaks(fused, L: int):
+    q = L // 4
+    return fused[:, :q], fused[:, q:]
+
+
 def split_fused(fused, L: int):
     q = L // 4
     return fused[:, :q], fused[:, q:]
@@ -335,6 +374,53 @@ def count_step_v3(
         h, valid = pallas_window_hashes_packed(packed, vbits, k, L)
     else:
         h, valid = window_hashes_packed(packed, vbits, k, L)
+    return probe_and_count(
+        h,
+        valid,
+        fp_t,
+        keys_t,
+        vals_t,
+        counts,
+        n_buckets=n_buckets,
+        slots=slots,
+        bbits=bbits,
+        cand_k=cand_k,
+        seg_c=seg_c,
+        seg_k1=seg_k1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "L", "n_buckets", "slots", "bbits", "cand_k", "seg_c",
+        "seg_k1",
+    ),
+)
+def count_step_v3_breaks(
+    packed,
+    side,
+    fp_t,
+    keys_t,
+    vals_t,
+    counts,
+    *,
+    k: int,
+    L: int,
+    n_buckets: int,
+    slots: int,
+    bbits: int,
+    cand_k: int = CAND_K,
+    seg_c: int | None = SEG_C,
+    seg_k1: int = SEG_K1,
+):
+    """count_step_v3 on the breaks wire ([B, SIDE_BYTES] sidecar instead
+    of [B, L/8] vbits); the hash/probe stages are byte-identical, only
+    the validity-mask prologue differs (kernel_v2.unpack_codes_breaks).
+    XLA hash stage only — the Pallas stage keeps the vbits wire."""
+    from ntsm_tpu.count.kernel_v2 import window_hashes_breaks
+
+    h, valid = window_hashes_breaks(packed, side, k, L)
     return probe_and_count(
         h,
         valid,

@@ -79,7 +79,9 @@ def main() -> None:
         print(f"# wire round 0: {wall0:.1f} s, {wire_mb:.1f} MB, "
               f"{n_batches} batches", file=sys.stderr)
 
-        row_bytes = cfg.segment_len * 3 // 8 + cfg.segment_len // 8
+        # fused wire row = [L/4] packed codes ++ [L/8] validity bits
+        # (kernel_v3.fuse_packed) = 3L/8 bytes
+        row_bytes = cfg.segment_len * 3 // 8
         AGG = 4
         unit = np.frombuffer(
             rng.bytes(AGG * cfg.batch_reads * row_bytes), np.uint8

@@ -30,21 +30,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_SITES = 96287
 
 
-def make_count_files(outdir: str, n_samples: int, rng, dirty_frac=0.0) -> list[str]:
+def make_count_files(outdir: str, n_samples: int, rng, dirty_frac=0.0,
+                     spread=None) -> list[str]:
+    """spread=(mat, K): population-structured cohort — samples fall into
+    K clusters laid out on a grid in the rotation's (PC0, PC1) plane by
+    shifting each cluster's allele frequencies along sign(mat[:, 0/1]).
+    One-blob cohorts put 79-90% of pairs inside the tier-1 search radius
+    (the -p filter's worst case); a spread cohort is the filter's DESIGN
+    case (only within-cluster pairs are candidates, ~1/K of all pairs)."""
     from ntsm_tpu.io.countfile import format_counts
 
     site_ids = [f"rs{100000+i}" for i in range(N_SITES)]
     distinct = np.full((N_SITES, 2), 13, dtype=np.int64)
     freq = rng.uniform(0.05, 0.95, size=N_SITES)
+    deltas = None
+    if spread is not None:
+        mat, K = spread
+        side = int(np.ceil(np.sqrt(K)))
+        s0 = np.sign(mat[:, 0])
+        s1 = np.sign(mat[:, 1])
+        deltas = [
+            0.04 * ((c % side - (side - 1) / 2) * s0
+                    + (c // side - (side - 1) / 2) * s1)
+            for c in range(K)
+        ]
 
     paths = []
     base_geno = None
     for s in range(n_samples):
+        fs = freq
+        if deltas is not None:
+            fs = np.clip(freq + deltas[s % len(deltas)], 0.02, 0.98)
         if s == 1 and base_geno is not None:
             geno = base_geno  # duplicate pair (sample swap)
         else:
-            geno = (rng.random(N_SITES) < freq).astype(np.int8) + (
-                rng.random(N_SITES) < freq
+            geno = (rng.random(N_SITES) < fs).astype(np.int8) + (
+                rng.random(N_SITES) < fs
             ).astype(np.int8)
             if s == 0:
                 base_geno = geno
@@ -73,16 +94,19 @@ def make_count_files(outdir: str, n_samples: int, rng, dirty_frac=0.0) -> list[s
     return paths
 
 
-def make_pca_artifacts(outdir: str, rng, dims: int = 20):
+def make_pca_artifacts(outdir: str, rng, dims: int = 20, mat=None):
     """Synthetic-but-well-formed PCA artifacts at the human-site scale
     (the projection/radius machinery is agnostic to whether the rotation
-    came from a real cohort)."""
+    came from a real cohort).  Pass mat to pin a rotation generated
+    up-front (the spread-cohort path shifts cluster frequencies along
+    its sign pattern, so count files and rot.tsv must agree)."""
     norm = os.path.join(outdir, "norm.txt")
     with open(norm, "w") as fh:
         fh.write("\n".join(f"{v:.6f}" for v in rng.uniform(0, 1, N_SITES)))
         fh.write("\n")
     rot = os.path.join(outdir, "rot.tsv")
-    mat = rng.normal(0, 0.003, size=(N_SITES, dims))
+    if mat is None:
+        mat = rng.normal(0, 0.003, size=(N_SITES, dims))
     with open(rot, "w") as fh:
         fh.write("AlleleID\t" + "\t".join(f"PC{i}" for i in range(dims)) + "\n")
         for i in range(N_SITES):

@@ -357,39 +357,21 @@ def run_count_v3(
     scan_group = None
     scan_group_breaks = None
     if group_exec:
-        import functools as _ft
-
-        @_ft.partial(jax.jit, donate_argnums=(4,))
-        def _scan_group(fused_g, fp_t, keys_t, vals_t, counts_in):
-            def body(c, f):
-                pk_s, vb_s = split_fused(f, config.segment_len)
-                c, d = count_step_v3(
-                    pk_s, vb_s, fp_t, keys_t, vals_t, c, **kw
-                )
-                return c, d
-
-            return jax.lax.scan(body, counts_in, fused_g)
+        # module-scope jitted scans (kernel_v3.scan_group_v3*): compiled
+        # once per process; a closure jitted here retraced per engine
+        # call (seconds of recompile per run on the tunneled runtime)
+        from ntsm_tpu.count.kernel_v3 import scan_group_v3
 
         def scan_group(fused_g, counts_in):
-            return _scan_group(fused_g, tab.fp, tab.keys, tab.vals,
-                               counts_in)
+            return scan_group_v3(fused_g, tab.fp, tab.keys, tab.vals,
+                                 counts_in, **kw)
 
         if use_breaks:
-
-            @_ft.partial(jax.jit, donate_argnums=(4,))
-            def _scan_group_b(fused_g, fp_t, keys_t, vals_t, counts_in):
-                def body(c, f):
-                    pk_s, sd_s = split_fused_breaks(f, config.segment_len)
-                    c, d = count_step_v3_breaks(
-                        pk_s, sd_s, fp_t, keys_t, vals_t, c, **kw
-                    )
-                    return c, d
-
-                return jax.lax.scan(body, counts_in, fused_g)
+            from ntsm_tpu.count.kernel_v3 import scan_group_v3_breaks
 
             def scan_group_breaks(fused_g, counts_in):
-                return _scan_group_b(fused_g, tab.fp, tab.keys, tab.vals,
-                                     counts_in)
+                return scan_group_v3_breaks(fused_g, tab.fp, tab.keys,
+                                            tab.vals, counts_in, **kw)
     upload_q: _queue.Queue = _queue.Queue(
         maxsize=max(config.upload_depth, AGG + 1)
     )
@@ -466,6 +448,7 @@ def run_count_v3(
     prod = _threading.Thread(target=_producer, daemon=True)
     prod.start()
     batch_idx = skip_batches
+    last_ckpt_idx = skip_batches  # batch count at the latest snapshot
     stage_t = dict(wait=0.0, dispatch=0.0, drain=0.0)  # -v -v stage budget
     try:
         while True:
@@ -524,7 +507,16 @@ def run_count_v3(
                     drain(len(pending))
                     early = True
                     break
-            if config.checkpoint_path and batch_idx % config.checkpoint_every == 0:
+            # boundary-crossing check, not `% every == 0`: a mid-stream
+            # wire-kind flip flushes a partial (non-AGG) group, after
+            # which group items advance batch_idx by 4 from a base that
+            # is no longer 0 mod 4 and an equality test would never
+            # fire again (snapshots at any batch_idx are valid — resume
+            # is a parse-skip of exactly batch_idx batches)
+            if config.checkpoint_path and (
+                batch_idx // config.checkpoint_every
+                > last_ckpt_idx // config.checkpoint_every
+            ):
                 from ntsm_tpu.count.checkpoint import save_snapshot
 
                 drain(len(pending))  # snapshot state = exactly batch_idx batches
@@ -538,6 +530,7 @@ def run_count_v3(
                     total_bases=total_bases,
                     total_reads=total_reads,
                 )
+                last_ckpt_idx = batch_idx
             if opts.verbose > 2 and total_reads >= next_read_mark:
                 next_read_mark = (total_reads // 1_000_000 + 1) * 1_000_000
                 print(

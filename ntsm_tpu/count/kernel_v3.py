@@ -393,6 +393,54 @@ def count_step_v3(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "k", "L", "n_buckets", "slots", "bbits", "cand_k", "pallas_hash",
+        "seg_c", "seg_k1",
+    ),
+    donate_argnums=(4,),
+)
+def scan_group_v3(fused_g, fp_t, keys_t, vals_t, counts_in, *, k, L,
+                  n_buckets, slots, bbits, cand_k=CAND_K,
+                  pallas_hash=False, seg_c=SEG_C, seg_k1=SEG_K1):
+    """count_step_v3 over a stacked [S, B, 3L/8] upload group as ONE
+    scan dispatch (the engine's group_exec path; diags stack [S, 3]).
+    Module-scope so the program compiles once per process — a closure
+    jitted inside run_count_v3 would retrace on every engine call."""
+    kw = dict(k=k, L=L, n_buckets=n_buckets, slots=slots, bbits=bbits,
+              cand_k=cand_k, pallas_hash=pallas_hash, seg_c=seg_c,
+              seg_k1=seg_k1)
+
+    def body(c, f):
+        pk, vb = split_fused(f, L)
+        return count_step_v3(pk, vb, fp_t, keys_t, vals_t, c, **kw)
+
+    return jax.lax.scan(body, counts_in, fused_g)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "L", "n_buckets", "slots", "bbits", "cand_k", "seg_c",
+        "seg_k1",
+    ),
+    donate_argnums=(4,),
+)
+def scan_group_v3_breaks(fused_g, fp_t, keys_t, vals_t, counts_in, *, k,
+                         L, n_buckets, slots, bbits, cand_k=CAND_K,
+                         seg_c=SEG_C, seg_k1=SEG_K1):
+    """scan_group_v3 on the breaks wire ([S, B, L/4 + SIDE_BYTES])."""
+    kw = dict(k=k, L=L, n_buckets=n_buckets, slots=slots, bbits=bbits,
+              cand_k=cand_k, seg_c=seg_c, seg_k1=seg_k1)
+
+    def body(c, f):
+        pk, sd = split_fused_breaks(f, L)
+        return count_step_v3_breaks(pk, sd, fp_t, keys_t, vals_t, c, **kw)
+
+    return jax.lax.scan(body, counts_in, fused_g)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "k", "L", "n_buckets", "slots", "bbits", "cand_k", "seg_c",
         "seg_k1",
     ),

@@ -591,8 +591,11 @@ class PcaStreamEngine:
             )
 
     def _catchup(self, ii: np.ndarray, kk: np.ndarray):
-        """Synchronously score pairs the stream missed (final F_t has
-        every row)."""
+        """Score pairs the stream missed (final F_t has every row).
+        Kernels dispatch back-to-back and results cross as GROUP-stacked
+        fetches — a per-block np.asarray loop would pay ~3 tunnel RTTs
+        (0.2-0.5 s each) per 4096 pairs, the per-item-fetch pattern the
+        main streamed path exists to avoid."""
         lls, ints, his = [], [], []
         pad = (-ii.shape[0]) % PAIR_BLOCK
         idx_dev = jnp.asarray(
@@ -601,17 +604,32 @@ class PcaStreamEngine:
                 np.pad(kk, (0, pad), constant_values=0),
             ])
         )
+        pend: list[tuple] = []  # (P, out) awaiting a stacked fetch
+
+        def drain() -> None:
+            if not pend:
+                return
+            ll_s = np.asarray(jnp.stack([o[0] for _, o in pend]))
+            iv_s = np.asarray(jnp.stack([o[1] for _, o in pend]))
+            hi_s = np.asarray(jnp.stack([o[2] for _, o in pend]))
+            for x, (P, _) in enumerate(pend):
+                lls.append(ll_s[x][:, :P])
+                ints.append(iv_s[x][:, :P])
+                his.append(hi_s[x][:P])
+            pend.clear()
+
         for b0 in range(0, ii.shape[0], PAIR_BLOCK):
             P = min(PAIR_BLOCK, ii.shape[0] - b0)
-            ll, iv, hi = _pair_block_stats_v2(
+            out = _pair_block_stats_v2(
                 self.F_t, idx_dev[0, b0 : b0 + PAIR_BLOCK],
                 idx_dev[1, b0 : b0 + PAIR_BLOCK],
                 mc=self.mc, n_valid=self.L, narrow=True,
                 g=PAIR_GATHER_CHUNKS,
             )
-            lls.append(np.asarray(ll)[:, :P])
-            ints.append(np.asarray(iv)[:, :P])
-            his.append(np.asarray(hi)[:P])
+            pend.append((P, out))
+            if len(pend) == GROUP:
+                drain()
+        drain()
         return (
             np.concatenate(lls, axis=1),
             np.concatenate(ints, axis=1),

@@ -90,16 +90,29 @@ def _diag_flat_np(half: int) -> np.ndarray:
     return (dj * COLS + di).astype(np.int32)
 
 
-def _rect_diag_parts(parts, half: int, vr: int):
+def _rect_diag_parts(parts, half: int, vr: int, dev_cache: dict | None = None):
     """Gather a diagonal rect's valid triangle on device (values are the
     untouched _rect_block_stats entries — bitwise identical to the full
-    rect).  vr < ROWS additionally prefix-drops pad rows (dj >= vr)."""
+    rect).  vr < ROWS additionally prefix-drops pad rows (dj >= vr).
+
+    dev_cache (eager callers only — never under a trace, see
+    _diag_flat_np's tracer-leak note) memoizes the device copy of the
+    index vector per (half, length): the dispatcher hits this 2x per
+    256-row block and each un-cached jnp.asarray is a ~50 ms fixed-cost
+    tunnel transfer."""
     ll, ints, hi = parts
     flat = _diag_flat_np(half)
     if vr < ROWS:
         dj, _ = _diag_host_idx(half)
         flat = flat[: int(np.searchsorted(dj, vr))]
-    flat = jnp.asarray(flat)
+    if dev_cache is not None:
+        key = (half, flat.shape[0])
+        cached = dev_cache.get(key)
+        if cached is None:
+            cached = dev_cache[key] = jnp.asarray(flat)
+        flat = cached
+    else:
+        flat = jnp.asarray(flat)
     g = lambda x: x.reshape(x.shape[0], -1)[:, flat]  # noqa: E731
     return g(ll), g(ints), (None if hi is None else hi.reshape(-1)[flat])
 
@@ -219,6 +232,7 @@ class RectScorer:
         self.mc = float(opts.min_cov)
         self._cov_skew = float(opts.cov_skew)
         self.narrow = self.n_sites <= _blob.NARROW_WIRE_MAX_SITES
+        self._diag_dev_cache: dict = {}  # (half, V) -> device idx vector
         P = self.N * (self.N - 1) // 2
         self.P = P
         # finalized per-pair columns (the _pair_columns / native-formatter
@@ -357,7 +371,9 @@ class RectScorer:
                     if k == bidx:
                         # diagonal: ship only the i<j triangle (minus
                         # pad rows) — a static device gather
-                        parts = _rect_diag_parts(parts, half, vr)
+                        parts = _rect_diag_parts(
+                            parts, half, vr, self._diag_dev_cache
+                        )
                         kind = ("diag", half, int(parts[0].shape[1]))
                     elif vr < ROWS:
                         # ragged final tile: slice pad rows off before

@@ -150,7 +150,12 @@ class MeshRectScorer(RectScorer):
         else:
             self._host_staged = []
             self._host_staged_rows = 0
-        blk = np.zeros((2, COLS, self.Lp), np.uint16)
+        # mirror rect._to_u16's dtype contract: u8/u16 wires ride u16,
+        # the wide (counts >= 2^16) f32 wire keeps f32 — a u16 buffer
+        # would silently C-cast those values mod 2^16
+        wide = a.dtype not in (np.uint8, np.uint16)
+        blk = np.zeros((2, COLS, self.Lp),
+                       np.float32 if wide else np.uint16)
         L = min(a.shape[1], self.Lp)
         blk[0, : a.shape[0], :L] = a[:, :L]
         blk[1, : b.shape[0], :L] = b[:, :L]
@@ -213,9 +218,10 @@ class MeshRectScorer(RectScorer):
             tr["disp_bp"] += time.perf_counter() - _t
 
         try:
-            buf = jax.device_put(
-                np.zeros((max(NB, 1), 2, COLS, Lp), np.uint16), rep
-            )
+            # buf dtype follows the cohort's count tier (u16 for the
+            # u8/u16 wires, f32 for the wide >=2^16 tier — which only
+            # arrives post-load, so every block shares one dtype);
+            # allocated on the first block
             while True:
                 _t = time.perf_counter()
                 item = self._work.get()
@@ -229,6 +235,10 @@ class MeshRectScorer(RectScorer):
                     return
                 _, bidx, blk = item
                 _t = time.perf_counter()
+                if buf is None:
+                    buf = jax.device_put(
+                        np.zeros((max(NB, 1), 2, COLS, Lp), blk.dtype), rep
+                    )
                 buf = upd(buf, jax.device_put(blk, rep), jnp.int32(bidx))
                 tr["disp_update"] = tr.get("disp_update", 0.0) + (
                     time.perf_counter() - _t

@@ -381,9 +381,10 @@ def compute_score_pca_tpu(data: CountData, opts: Options, out, cloud) -> None:
     # group.  Per-fetch RTT on the tunnel is ~0.2-0.5 s; at N=3202 the
     # candidate set is ~1000 blocks, so per-block fetches cost ~200 s of
     # pure round-trips (measured, scripts/profile_pca.py) — grouping cuts
-    # the transfer count ~16x.  The wire is the rect engine's 19 B/pair
-    # 5-statistic blob (VERDICT r4 #1): ll f32[2,P] + u16 lows + u8 highs
-    # (28 B/pair as the all-f32 [7, P] fallback on wide-count cohorts).
+    # the transfer count ~16x.  The wire is the rect engine's 17 B/pair
+    # narrow blob (VERDICT r4 #1/#6): ll-hi f32[1,P] + six u16 rows (5
+    # statistic lows + bf16 loglik-lo bits) + u8 highs (28 B/pair as the
+    # all-f32 [7, P] fallback on wide-count cohorts).
     def _dispatch_group(g0: int):
         metas, lls, ints, his = [], [], [], []
         end = min(g0 + PCA_FETCH_GROUP * PAIR_BLOCK, n_pairs_all)

@@ -247,8 +247,6 @@ def load_count_data_eval(paths, opts: Options):
     # phase (VERDICT r3 #1).  -p runs get the same treatment via the
     # PcaStreamEngine (VERDICT r4 #1): projection/tier/candidate
     # decisions ride the host rows and pair scoring the uploaded blocks.
-    import os
-
     holder: dict = {}
     meta = None
     blk_cb = None

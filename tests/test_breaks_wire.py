@@ -119,3 +119,24 @@ def test_engine_mixed_wire_stream(rng, tmp_path):
     res = run_count_v3(table, [fq], Options(), cfg)
     np.testing.assert_array_equal(res.counts, golden.counts)
     assert res.total_kmers == golden.total_kmers
+
+
+def test_checkpoint_cadence_survives_wire_flip(rng, tmp_path):
+    """A mid-stream breaks->vbits flip flushes a partial group and
+    shifts batch_idx off the AGG grid; snapshots must keep firing (the
+    engine uses a boundary-crossing check, not `% every == 0`)."""
+    table, fq = _world(rng, tmp_path, n_prob=0.3, coverage=40)
+    golden = count_files(table, [fq])
+    ckpt = str(tmp_path / "snap.npz")
+    cfg = EngineConfig(
+        batch_reads=16, segment_len=128, checkpoint_path=ckpt,
+        checkpoint_every=4,  # divisible by AGG=4 -> group_exec stays on
+    )
+    res = run_count_v3(table, [fq], Options(), cfg)
+    np.testing.assert_array_equal(res.counts, golden.counts)
+    with np.load(ckpt) as z:
+        n_snap = int(z["n_batches"])
+    # the stream must have spanned several checkpoint boundaries and the
+    # LAST snapshot must come from beyond the first flip (i.e. cadence
+    # did not die after the partial-group flush)
+    assert n_snap >= 8, n_snap

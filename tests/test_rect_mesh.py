@@ -100,3 +100,31 @@ def test_mesh_rect_streamed_loader_parity(tmp_path, rng):
         T._auto_mesh = orig_auto
 
     assert out_mesh.getvalue() == out_single.getvalue()
+
+
+def test_mesh_rect_wide_tier_parity(rng, monkeypatch):
+    """Counts >= 2^16 ride the f32 wide wire; the mesh block buffer must
+    keep f32 (a u16 buffer would C-cast mod 2^16 silently)."""
+    import ntsm_tpu.eval.tpu as T
+
+    data = _data(rng, 40)
+    # push one sample's counts into the wide tier
+    data.max_counts[3] += 70_000
+    data.sum_counts[3] = data.max_counts[3] * 13
+    data = CountData(
+        filenames=data.filenames, locus_ids=data.locus_ids,
+        distinct=data.distinct, max_counts=data.max_counts,
+        sum_counts=data.sum_counts, raw_total_kmers=data.raw_total_kmers,
+        ks=data.ks, total_counts=data.max_counts.sum(axis=(1, 2)),
+    ).prepare(Options(all=True))
+    opts = Options(all=True)
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    single = io.StringIO()
+    T.compute_score_all_tpu(data, opts, single)
+
+    mesh = data_mesh(jax.devices()[:8])
+    monkeypatch.setattr(T, "_auto_mesh", lambda: mesh)
+    meshed = io.StringIO()
+    T.compute_score_all_tpu(data, opts, meshed)
+
+    assert single.getvalue() == meshed.getvalue()

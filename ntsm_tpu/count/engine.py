@@ -381,13 +381,9 @@ def run_count_v3(
     wire_nbytes = [0]  # host->device bytes shipped (link-efficiency bench)
 
     def _qput(item) -> bool:
-        while not stop_evt.is_set():
-            try:
-                upload_q.put(item, timeout=0.1)
-                return True
-            except _queue.Full:
-                continue
-        return False
+        from ntsm_tpu.io.fastx import _bounded_put
+
+        return _bounded_put(upload_q, stop_evt, item)
 
     def _producer():
         it = iter(reader)
@@ -494,8 +490,12 @@ def run_count_v3(
                 pending.append((diag, batch.codes))
             stage_t["dispatch"] += _time.monotonic() - _t
             _t = _time.monotonic()
-            if len(pending) >= 2 * window:
-                # drain the older half; the newer half keeps the device busy
+            while len(pending) >= 2 * window:
+                # drain the older half; the newer half keeps the device
+                # busy.  A while, not an if: a group item appends AGG=4
+                # batches at once, so with window < AGG a single
+                # drain(window) would let pending grow without bound and
+                # the final drain would blow the fixed pad_k stack pad
                 drain(window)
                 stage_t["drain"] += _time.monotonic() - _t
                 if check_term and total_hits > max_counts:
@@ -507,6 +507,8 @@ def run_count_v3(
                     drain(len(pending))
                     early = True
                     break
+            if early:
+                break
             # boundary-crossing check, not `% every == 0`: a mid-stream
             # wire-kind flip flushes a partial (non-AGG) group, after
             # which group items advance batch_idx by 4 from a base that

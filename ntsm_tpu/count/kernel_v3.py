@@ -87,14 +87,15 @@ def breaks_sidecar(codes: np.ndarray, lengths: np.ndarray):
     return side
 
 
-def split_fused_breaks(fused, L: int):
-    q = L // 4
-    return fused[:, :q], fused[:, q:]
-
-
 def split_fused(fused, L: int):
     q = L // 4
     return fused[:, :q], fused[:, q:]
+
+
+# same slice math for the breaks wire (codes are the first L/4 bytes,
+# the rest is the sidecar instead of vbits) — aliased so the two wire
+# layouts can't drift apart silently
+split_fused_breaks = split_fused
 from ntsm_tpu.io.sites import EMPTY_KEY, LookupTable, build_lookup
 
 SLOTS_V3 = 8

@@ -158,7 +158,7 @@ def load_count_arrays(paths):
     if nat0 is None:
         return None
     tk0, ks0, blob0, ints0 = nat0
-    locus_ids = blob0.decode("ascii").splitlines()
+    locus_ids = blob0.decode("latin-1").splitlines()  # raw-byte ids, as the reference
     distinct = ints0[:, 4:6].copy()
     n = len(locus_ids)
     N = len(paths)
@@ -272,7 +272,7 @@ def load_count_wires(paths, pad_to: int = 256, block_cb=None,
     if n0 <= 0:
         return None
     blob0 = ids[: ids_len.value].tobytes()
-    locus_ids = blob0.decode("ascii").splitlines()
+    locus_ids = blob0.decode("latin-1").splitlines()  # raw-byte ids, as the reference
     L = n0
     N = len(paths)
     if meta_cb is not None:
@@ -399,7 +399,7 @@ def load_count_files(paths) -> tuple[list, np.ndarray, list[CountFile]]:
     index_of = None
     if nat0 is not None:
         tk0, ks0, blob0, ints0 = nat0
-        locus_ids = blob0.decode("ascii").splitlines()
+        locus_ids = blob0.decode("latin-1").splitlines()  # raw-byte ids, as the reference
         distinct = ints0[:, 4:6].copy()
         n = len(locus_ids)
     else:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import ctypes
 import io
+import queue
 import zlib
 from dataclasses import dataclass
 from typing import Iterator, Sequence
@@ -130,6 +131,36 @@ class _InflateRaw(io.RawIOBase):
             produced = GZ_CALL - s.avail_out
             if rc == self.Z_STREAM_END:
                 if s.avail_in == 0 and self._feof:
+                    self._stream_done = True
+                    break
+                # gz_look semantics (zlib gzread.c): bytes after a
+                # finished member are a NEW member only if they carry
+                # the gzip magic; anything else is trailing garbage —
+                # "ignore the trailing garbage and finish" with every
+                # inflated byte delivered.  Resetting and inflating
+                # garbage unconditionally voided the whole 16 KB window
+                # (real gzread only voids on a data error INSIDE a
+                # member, which the magic path below still reproduces).
+                if s.avail_in < 2 and not self._feof:
+                    rem = (
+                        ctypes.string_at(s.next_in, s.avail_in)
+                        if s.avail_in
+                        else b""
+                    )
+                    raw = self._fh.read(1 << 16)
+                    if not raw:
+                        self._feof = True
+                    data = rem + (raw or b"")
+                    if data:
+                        self._inbuf = ctypes.create_string_buffer(
+                            data, len(data)
+                        )
+                        s.next_in = ctypes.addressof(self._inbuf)
+                        s.avail_in = len(data)
+                if (
+                    s.avail_in < 2
+                    or ctypes.string_at(s.next_in, 2) != b"\x1f\x8b"
+                ):
                     self._stream_done = True
                     break
                 if z.inflateReset2(ctypes.byref(s), 15 + 32) != self.Z_OK:
@@ -321,7 +352,10 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
 
 
 def _header_name(line: bytes) -> str:
-    return line[1:].split(None, 1)[0].decode("ascii") if len(line) > 1 else ""
+    # latin-1: kseq keeps names as raw bytes, so any byte value must
+    # parse (a 0x80+ byte crashed strict ascii where the reference reads
+    # the file fine); latin-1 maps bytes 1:1 onto code points
+    return line[1:].split(None, 1)[0].decode("latin-1") if len(line) > 1 else ""
 
 
 # ---------------------------------------------------------------------------
@@ -439,6 +473,19 @@ def BatchReader(
     return PyBatchReader(paths, k=k, seglen=seglen, batch=batch, dense=dense)
 
 
+def _bounded_put(q, stop, item) -> bool:
+    """Put onto a bounded queue unless `stop` is set (the shared
+    stoppable-producer primitive for the engine upload thread and both
+    reader fan-outs — keep the shutdown semantics in ONE place)."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 class ParallelFileReader:
     """Thread-per-file-group batch reader.
 
@@ -481,13 +528,7 @@ class ParallelFileReader:
         err: list[BaseException] = []
 
         def _put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+            return _bounded_put(q, stop, item)
 
         def produce(group):
             try:
@@ -551,13 +592,7 @@ class PrefetchReader:
         err: list[BaseException] = []
 
         def _put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+            return _bounded_put(q, stop, item)
 
         def produce():
             try:

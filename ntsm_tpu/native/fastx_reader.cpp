@@ -61,10 +61,12 @@ struct GzFile {
     // One emulated gzread(f, buf, want): kseq refills through 16384-byte
     // gzread calls (vendor/kseq.h:229,74), and measured gzread behavior
     // on damaged input (A/B'd vs the reference binary) is: truncation =
-    // clean EOF keeping every inflated byte; ANY zlib data error (bad
-    // CRC trailer, mid-stream damage) returns -1 from the erroring call,
-    // voiding that call's whole output window while prior calls stand.
-    // stream_done latches so nothing follows the error.
+    // clean EOF keeping every inflated byte; a zlib data error INSIDE a
+    // member (bad CRC trailer, mid-stream damage) returns -1 from the
+    // erroring call, voiding that call's whole output window while prior
+    // calls stand; non-magic bytes AFTER a finished member are trailing
+    // garbage, ignored with a clean finish (gz_look). stream_done
+    // latches so nothing follows the error.
     bool stream_done = false;
 
     size_t read_call(uint8_t* buf, size_t want) {
@@ -87,6 +89,32 @@ struct GzFile {
             produced = want - zs.avail_out;
             if (rc == Z_STREAM_END) {
                 if (zs.avail_in == 0 && (!fp || std::feof(fp))) {
+                    stream_done = true;
+                    break;
+                }
+                // gz_look semantics (zlib gzread.c): after a finished
+                // member, only the gzip magic starts a new member —
+                // anything else is trailing garbage, ignored with a
+                // clean finish (all inflated bytes kept).  Inflating
+                // garbage here instead voided the whole window, which
+                // real gzread only does on an error INSIDE a member.
+                if (zs.avail_in < 2 && fp && !std::feof(fp)) {
+                    // top up so the 2-byte magic check can see across
+                    // a buffer boundary (mirrors zlib's gz_avail)
+                    size_t rem = zs.avail_in;
+                    if (rem) std::memmove(in.data(), zs.next_in, rem);
+                    size_t got = std::fread(in.data() + rem, 1,
+                                            CHUNK - rem, fp);
+                    if (got == 0 && std::ferror(fp)) {
+                        io_error = true;
+                        break;
+                    }
+                    in_len = rem + got;
+                    zs.next_in = in.data();
+                    zs.avail_in = static_cast<uInt>(in_len);
+                }
+                if (zs.avail_in < 2 || zs.next_in[0] != 0x1f ||
+                    zs.next_in[1] != 0x8b) {
                     stream_done = true;
                     break;
                 }

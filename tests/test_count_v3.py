@@ -263,3 +263,18 @@ def test_device_table_build_tiny(rng):
     dev = TableV3.from_hashes_device(hashes)
     assert dev.lookup is not None  # host path taken
     assert np.asarray(dev.keys).shape[1] == dev.slots
+
+
+def test_small_drain_window_with_group_exec(rng, tmp_path):
+    """early_term_check_every < AGG (window 2 vs group appends of 4):
+    pending must stay bounded and the final drain inside pad_k — a
+    single `if`-drain grew pending unboundedly and blew the pad
+    assertion at end of run."""
+    table, fq = _world(rng, tmp_path, coverage=12)
+    golden = count_files(table, [fq])
+    cfg = EngineConfig(
+        batch_reads=16, segment_len=128, early_term_check_every=2
+    )
+    res = run_count_v3(table, [fq], Options(), cfg)
+    np.testing.assert_array_equal(res.counts, golden.counts)
+    assert res.total_kmers == golden.total_kmers

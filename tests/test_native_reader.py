@@ -446,3 +446,54 @@ def test_zlib_fallback_stream(rng, tmp_path, monkeypatch):
     trunc.write_bytes(blob[: len(blob) // 2])
     recs = list(FX.read_fastx(str(trunc)))
     assert 0 < len(recs) < 50
+
+
+def test_trailing_garbage_gzip_keeps_all_records(rng, tmp_path):
+    """gz_look semantics (zlib gzread.c): non-magic bytes after the
+    final member are trailing garbage — ignored with a clean finish and
+    EVERY inflated byte delivered.  Both readers previously voided the
+    final 16 KB window by inflating the garbage as a new member."""
+    import io as _io
+
+    blob_io = _io.BytesIO()
+    n = 200
+    with gzip.GzipFile(fileobj=blob_io, mode="wb") as zf:
+        for i in range(n):
+            s = _rand_seq(rng, 90)
+            zf.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n".encode())
+    for junk in (b"junk" * 64, b"\x00" * 7, b"\x1f"):  # incl. a lone 0x1f
+        p = tmp_path / f"g{len(junk)}.fq.gz"
+        p.write_bytes(blob_io.getvalue() + junk)
+        # every record must survive in BOTH readers
+        from ntsm_tpu.io.fastx import read_fastx
+
+        assert sum(1 for _ in read_fastx(str(p))) == n
+        _assert_same([str(p)], seglen=48)
+
+
+def test_trailing_garbage_then_magic_is_data_error(rng, tmp_path):
+    """Garbage that DOES start with the gzip magic is treated as a new
+    member; its inflate failure voids that call's window (the measured
+    in-member damage semantics), and both readers agree."""
+    import io as _io
+
+    blob_io = _io.BytesIO()
+    with gzip.GzipFile(fileobj=blob_io, mode="wb") as zf:
+        for i in range(200):
+            s = _rand_seq(rng, 90)
+            zf.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n".encode())
+    p = tmp_path / "m.fq.gz"
+    p.write_bytes(blob_io.getvalue() + b"\x1f\x8b" + b"\x00" * 32)
+    _assert_same([str(p)], seglen=48)
+
+
+def test_non_ascii_header_parses(tmp_path):
+    """kseq keeps names as raw bytes; a 0x80+ header byte must parse,
+    not crash (latin-1 maps bytes 1:1)."""
+    from ntsm_tpu.io.fastx import read_fastx
+
+    p = tmp_path / "n.fa"
+    p.write_bytes(b">r\xe9name desc\nACGTACGT\n")
+    recs = list(read_fastx(str(p)))
+    assert len(recs) == 1
+    assert recs[0].name == "r\xe9name"

@@ -19,6 +19,7 @@ from ntsm_tpu.eval.pca import (
     pca_candidates,
     project_pcs,
     search_radii,
+    sq_dists_blocked,
 )
 from ntsm_tpu.options import Options
 from ntsm_tpu.utils.formats import cpp_to_string
@@ -59,9 +60,6 @@ def compute_score_pca_debug(
     report per true pair how many candidate pairs the heuristic would
     evaluate at that distance and whether each sample's radius tier covers
     the pair."""
-    if opts.all:
-        print("Currently unable to output all pairs in debug mode.", file=sys.stderr)
-        raise SystemExit(1)
     radii = search_radii(data, opts)
     file_to_id = {name: i for i, name in enumerate(data.filenames)}
     true_pairs: list[tuple[int, int]] = []
@@ -83,9 +81,15 @@ def compute_score_pca_debug(
 
     out.write(HEADER)
     out.write("\tpairs\tcandidates1\tcandidates2\tpossible\tradius1\tradius2\tcorrect\n")
+    if opts.all:
+        # reference order (CompareCounts.hpp:312-434): headers and the
+        # truth file land BEFORE the -a rejection, so stdout carries the
+        # header line when it exits
+        print("Currently unable to output all pairs in debug mode.", file=sys.stderr)
+        raise SystemExit(1)
 
     c = cloud[:, : opts.dim]
-    sq = ((c[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    sq = sq_dists_blocked(c)
     n = data.n_samples
 
     def pruned_candidates(x: int) -> int:

@@ -225,10 +225,14 @@ def native_pair_stats(data: CountData, opts: Options, ii, jj):
     return score, tallies
 
 
-def _emit_pairs(data, opts, out, ii, jj, score, tallies, dist=None) -> None:
+def _emit_pairs(data, opts, out, ii, jj, score, tallies, dist=None,
+                samp_w=None) -> None:
     """Emit result rows for a scored pair list; thin adapter over the
     shared emission path (eval/tpu.py:_emit_pair_chunk — filtering, the
-    `same` column, native C formatter with Python fallback)."""
+    `same` column, native C formatter with Python fallback).  Pass
+    samp_w (the _sample_strings cache) when calling per block — a None
+    makes the native emitter rebuild the per-sample string cache on
+    every call."""
     from ntsm_tpu.eval.tpu import (
         PAIR_COL_KEYS,
         _emit_pair_chunk,
@@ -238,7 +242,7 @@ def _emit_pairs(data, opts, out, ii, jj, score, tallies, dist=None) -> None:
     cols = [tallies[k] for k in PAIR_COL_KEYS]
     _emit_pair_chunk(
         data, opts, out, np.asarray(ii), np.asarray(jj), score, cols,
-        _load_row_formatter(), None, dist=dist,
+        _load_row_formatter(), samp_w, dist=dist,
     )
 
 
@@ -251,12 +255,18 @@ def compute_score_all(data: CountData, opts: Options, out) -> None:
     # pair blocks bound the native kernel's working set and let large
     # cohorts stream output instead of buffering every row's inputs
     BLK = 1 << 18
+    samp_w = None
     for b0 in range(0, iu.shape[0], BLK):
         ii, jj = iu[b0 : b0 + BLK], ju[b0 : b0 + BLK]
         got = native_pair_stats(data, opts, ii, jj)
         if got is not None:
             score, tallies = got
-            _emit_pairs(data, opts, out, ii, jj, score, tallies)
+            if samp_w is None:
+                from ntsm_tpu.eval.emit import _sample_strings
+
+                samp_w = _sample_strings(data)
+            _emit_pairs(data, opts, out, ii, jj, score, tallies,
+                        samp_w=samp_w)
             continue
         for i, j in zip(ii, jj):
             score, nv, rel = pair_score(data, int(i), int(j), opts)

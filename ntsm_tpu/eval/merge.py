@@ -12,14 +12,15 @@ from ntsm_tpu.io.countfile import format_merged_counts
 
 
 def merge_counts(data: CountData, out_path: str) -> None:
-    ks = data.ks
-    for i in range(len(ks)):
-        for j in range(i + 1, len(ks)):
-            if ks[i] != ks[j]:
-                raise AssertionError(
-                    f"k-mer size mismatch between {data.filenames[i]} and "
-                    f"{data.filenames[j]} (CompareCounts.hpp:631-635)"
-                )
+    import numpy as np
+
+    ks = np.asarray(data.ks)
+    if ks.size and (ks != ks[0]).any():
+        j = int(np.argmax(ks != ks[0]))
+        raise AssertionError(
+            f"k-mer size mismatch between {data.filenames[0]} and "
+            f"{data.filenames[j]} (CompareCounts.hpp:631-635)"
+        )
     tk = int(data.raw_total_kmers.sum())
     if data.site_acc is not None:  # wire mode: sums were accumulated at parse
         mc = data.site_acc[:, 0:2]

@@ -151,9 +151,45 @@ def _project_rows(sc: _ProjScratch, ab, bb, normv, rotT, mc, out) -> None:
     if valsm.dtype == np.float64:
         np.matmul(valsm, rotT, out=out)
     else:
-        # extended-precision inner products, cast per the reference's
-        # double accumulator
-        out[:] = (valsm @ rotT).astype(np.float64)
+        # the reference's exact type semantics (projectPCs :173-210 +
+        # std::inner_product<double>): vals[j] is a DOUBLE (the
+        # q - center long-double subtraction rounds once on store), and
+        # the accumulator is a DOUBLE re-rounded after every
+        # (double x long double) product-add.  An all-long-double
+        # matmul with one final cast differs in the last f64 ulp at
+        # cohort scale (~1 flipped %.6f dist column per full N=3202
+        # run), so run the native kernel (or its per-step-rounded
+        # Python fallback)
+        vals64 = valsm.astype(np.float64)
+        _project_exact_rows(vals64, rotT, out)
+
+
+def _project_exact_rows(vals64: np.ndarray, rotT: np.ndarray, out) -> None:
+    """f64-accumulator x long-double-rotation inner products (see
+    _project_rows); rotT must be a C-contiguous [L, dim] longdouble."""
+    import ctypes
+
+    from ntsm_tpu import native
+
+    lib = native.load()
+    m, L = vals64.shape
+    dim = rotT.shape[1]
+    if lib is not None and hasattr(lib, "ntsm_project_exact") and (
+        rotT.flags.c_contiguous
+    ):
+        lib.ntsm_project_exact(
+            vals64.ctypes.data_as(ctypes.c_void_p),
+            rotT.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_long(m), ctypes.c_long(L), ctypes.c_long(dim),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return
+    acc = np.zeros((m, dim), np.float64)
+    for j in range(L):  # per-step f64 rounding, ascending j as inner_product
+        acc = (acc + vals64[:, j, None] * rotT[j][None, :]).astype(
+            np.float64
+        )
+    out[:] = acc
 
 
 def project_pcs(data: CountData, opts: Options, fast: bool | None = None) -> np.ndarray:
@@ -191,6 +227,9 @@ def project_pcs(data: CountData, opts: Options, fast: bool | None = None) -> np.
         rotT = rotT.astype(np.float64)
         normv = norm.astype(np.float64)
     else:
+        # contiguous for the native per-step-rounded accumulator (a
+        # transpose view would drop it to the slow Python fallback)
+        rotT = np.ascontiguousarray(rotT)
         normv = norm
     cloud = np.empty((N, dim), np.float64)
     blk = min(N, _PROJ_BLK)
@@ -243,6 +282,22 @@ def pca_candidates(cloud: np.ndarray, radii: np.ndarray, dim: int,
     yield from zip(ii.tolist(), kk.tolist())
 
 
+def sq_dists_blocked(c: np.ndarray) -> np.ndarray:
+    """[N, N] squared L2 distances by row-blocked (a-b)^2 accumulation:
+    same per-coordinate arithmetic order as nanoflann's L2 accum (NOT
+    the |a|^2+|b|^2-2ab matmul form, whose different rounding could
+    flip borderline radius comparisons), without the [N, N, dim]
+    transient (~1.6 GB at the N=3202 cohort — fresh pages fault at
+    20-60 MB/s on this VM)."""
+    n = c.shape[0]
+    sq = np.empty((n, n), dtype=np.float64)
+    BLK = 64
+    for r0 in range(0, n, BLK):
+        r1 = min(r0 + BLK, n)
+        sq[r0:r1] = ((c[r0:r1, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    return sq
+
+
 def pca_candidate_arrays(cloud: np.ndarray, radii: np.ndarray, dim: int,
                          sq: np.ndarray | None = None):
     """pca_candidates as (ii, kk) int arrays in the identical emission
@@ -251,16 +306,7 @@ def pca_candidate_arrays(cloud: np.ndarray, radii: np.ndarray, dim: int,
     n = cloud.shape[0]
     c = cloud[:, :dim]
     if sq is None:
-        # row-blocked (a-b)^2 accumulation: same per-coordinate arithmetic
-        # order as nanoflann's L2 accum (NOT the |a|^2+|b|^2-2ab matmul
-        # form, whose different rounding could flip borderline radius
-        # comparisons), without the [N, N, dim] transient (~1.6 GB at the
-        # N=3202 cohort)
-        sq = np.empty((n, n), dtype=np.float64)
-        BLK = 64
-        for r0 in range(0, n, BLK):
-            r1 = min(r0 + BLK, n)
-            sq[r0:r1] = ((c[r0:r1, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        sq = sq_dists_blocked(c)
     idx = np.arange(n)
     exhaust = radii >= DBL_MAX
     # exhaustive searchers share one match list shape: every j except

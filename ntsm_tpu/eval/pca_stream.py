@@ -466,12 +466,14 @@ class PcaStreamEngine:
                     self.res_hi.append(his[x][:P])
         except BaseException as e:  # noqa: BLE001
             self._exc.append(e)
-            while True:
-                try:
-                    if self._results.get_nowait() is None:
-                        return
-                except queue.Empty:
-                    return
+            # keep CONSUMING until the dispatcher's None sentinel — a
+            # get_nowait drain that returns on Empty leaves the
+            # dispatcher blocked on the maxsize-4 queue once it refills
+            # (the run would hang instead of raising _exc and the
+            # driver's fall-back-to-serial path would never trigger);
+            # every dispatcher exit path posts the sentinel
+            while self._results.get() is not None:
+                pass
 
     # -- completion -------------------------------------------------------
     def join(self) -> None:

@@ -427,13 +427,14 @@ class RectScorer:
                 tr["scatter"] += time.perf_counter() - _t
         except BaseException as e:  # noqa: BLE001
             self._exc.append(e)
-            # drain so the dispatcher never blocks on a full queue
-            while True:
-                try:
-                    if self._results.get_nowait() is None:
-                        return
-                except queue.Empty:
-                    return
+            # keep CONSUMING until the dispatcher's None sentinel: a
+            # get_nowait drain that returns on Empty leaves the
+            # dispatcher blocked forever on the maxsize-4 queue once it
+            # fills again (eval would hang instead of surfacing _exc);
+            # every dispatcher exit path — normal, exception, abort —
+            # posts the sentinel, so this terminates
+            while self._results.get() is not None:
+                pass
 
     def _finalize_scatter(self, t0: int, k0: int, ll, ints, hi,
                           kind=("full", ROWS)) -> None:

@@ -19,7 +19,9 @@
 // there) — a <=1 ulp effect that the fixed 6-decimal output formatting
 // absorbs (verified by byte-parity fuzz tests, tests/test_exact_native.py).
 
+#include <algorithm>
 #include <cstdint>
+#include <vector>
 #include <cstring>
 
 namespace {
@@ -96,6 +98,38 @@ void ntsm_exact_pairs(const double* A, const double* B, const uint8_t* CLS,
     tally_pair(CLS + i * L, CLS + j * L, L, tallies + p * 8);
     sums_pair(A + i * L, B + i * L, A + j * L, B + j * L, S + i * L,
               S + j * L, L, mc, joint + p, ss + p);
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Exact-engine PCA projection accumulator with the reference's exact
+// type semantics (CompareCounts.hpp:173-210 + std::inner_product):
+// vals are double (the q - center long-double subtraction rounded once
+// on store), rot entries are long double (strtold), and the running
+// accumulator is DOUBLE, re-rounded after every (double x long double)
+// product-add — numpy's all-long-double matmul with one final cast
+// differs in the last f64 ulp at cohort scale.
+// vals: [n, L] f64 row block; rotT: [L, dim] long double; out: [n, dim].
+void ntsm_project_exact(const double* vals, const long double* rotT,
+                        long n, long L, long dim, double* out) {
+  // j-outer with a per-component double accumulator row: each acc[d]
+  // sees the same per-step rounding sequence as the reference's
+  // inner_product over ascending j, and rotT rows load contiguously
+  std::vector<double> acc(static_cast<size_t>(dim));
+  for (long i = 0; i < n; ++i) {
+    const double* v = vals + i * L;
+    std::fill(acc.begin(), acc.end(), 0.0);
+    for (long j = 0; j < L; ++j) {
+      const double vj = v[j];
+      const long double* r = rotT + j * dim;
+      for (long d = 0; d < dim; ++d) {
+        acc[d] = acc[d] + vj * r[d];
+      }
+    }
+    for (long d = 0; d < dim; ++d) out[i * dim + d] = acc[d];
   }
 }
 

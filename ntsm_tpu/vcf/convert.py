@@ -46,15 +46,18 @@ def _format_longdouble_g(x: np.longdouble, precision: int = 19) -> str:
         return "-inf" if x < 0 else "inf"
     if x == 0:
         return "0"
-    exp = int(np.floor(np.log10(abs(x))))
+    # C's %g picks fixed vs scientific from the exponent of the value
+    # AFTER rounding to `precision` significant digits (9.99...e-5 at 19
+    # digits rounds to 1e-4 and prints FIXED) — so take the exponent
+    # from the rounded scientific form, not floor(log10(x))
+    s = np.format_float_scientific(
+        x, precision=precision - 1, unique=False, trim="-"
+    )
+    mant, e = s.split("e")
+    exp = int(e)
     if exp < -4 or exp >= precision:
-        s = np.format_float_scientific(
-            x, precision=precision - 1, unique=False, trim="-"
-        )
         # normalize exponent format to C's e+05 style
-        mant, e = s.split("e")
-        ei = int(e)
-        return f"{mant}e{'+' if ei >= 0 else '-'}{abs(ei):02d}"
+        return f"{mant}e{'+' if exp >= 0 else '-'}{abs(exp):02d}"
     return np.format_float_positional(
         x, precision=precision, unique=False, fractional=False, trim="-"
     )
@@ -264,7 +267,15 @@ class VCFConverter:
                 present = denom > 0
                 with np.errstate(divide="ignore", invalid="ignore"):
                     values = np.where(present, max_ref / np.maximum(denom, 1.0), 0.0)
-                ssum = float(values[present].sum())
+                # cumsum, not sum: np.sum's pairwise tree differs from
+                # the reference's sequential `sum += values[j]` double
+                # accumulation (MultiCount.hpp:159-200) in the last ulp
+                # for >8 samples — visible at %.19Lg on nearly every row
+                # at cohort scale.  add.accumulate is strictly
+                # left-to-right, and absent samples hold exact +0.0
+                # (bitwise-neutral to add), so the final element equals
+                # the reference's loop bit-for-bit.
+                ssum = float(values.cumsum()[-1]) if n else 0.0
                 center = np.longdouble(ssum) / np.longdouble(n)
                 out.write(site_id)
                 for j in range(n):

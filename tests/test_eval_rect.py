@@ -102,3 +102,29 @@ def test_rect_driver_output_matches_unstreamed_stats(rng, monkeypatch):
         assert float(f[2]) == pytest.approx(
             float(stats["score"][k]), rel=5e-6, abs=5e-6
         )
+
+
+def test_fetch_thread_death_raises_not_hangs(rng, monkeypatch):
+    """A fetch-thread exception (e.g. a tunnel drop mid-np.asarray) must
+    surface from result() — the fetcher keeps consuming to the
+    dispatcher's sentinel so the bounded results queue can never wedge
+    the dispatcher (the old get_nowait drain deadlocked the run)."""
+    import pytest
+
+    import ntsm_tpu.eval.tpu as T
+    from ntsm_tpu.eval.rect import RectScorer, make_scorer_for_planes
+    from ntsm_tpu.eval.wire import _device_planes
+
+    monkeypatch.setattr(T, "_auto_mesh", lambda: None)
+    monkeypatch.setattr(
+        RectScorer, "_finalize_scatter",
+        lambda self, *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated fetch failure")
+        ),
+    )
+    N, L = 300, 700
+    data = _cohort(rng, N, L)
+    opts = Options(all=True, genome_size=1_000_000)
+    sc = make_scorer_for_planes(data, opts, _device_planes(data))
+    with pytest.raises(RuntimeError, match="simulated fetch failure"):
+        sc.result(data.cov)

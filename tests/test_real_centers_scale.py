@@ -136,15 +136,18 @@ def test_real_centers_production_shape(tmp_path):
     rows = tsv.splitlines()
     assert len(rows) == len(cand_ld) + 1  # -a: every candidate emitted
 
-    # digest pins: the longdouble projection and the emitted rows.  These
-    # hold wherever numpy longdouble is x86 80-bit (the same platform
-    # dependency the reference's `long double` has).
+    # digest pins: the exact-path projection (reference inner_product
+    # semantics: f64 vals, f64 per-step-rounded accumulator, long-double
+    # products — re-pinned when that replaced the all-longdouble matmul)
+    # and the emitted rows.  These hold wherever numpy longdouble is x86
+    # 80-bit (the same platform dependency the reference's `long
+    # double` has).
     cloud_sig = hashlib.sha256(
         np.ascontiguousarray(cloud_ld.astype(np.float64))
     ).hexdigest()
     tsv_sig = hashlib.sha256(tsv.encode()).hexdigest()
     assert cloud_sig == (
-        "eb7f5e1bcd78b16aaf227a4b7a8308027fce8ebe0afc093d55cce85ca2528e97"
+        "a048b59a70b3176118aee9c525bd64345cfe8f9052aa37bfae34597701d206aa"
     ), f"cloud digest changed: {cloud_sig}"
     assert tsv_sig == (
         "4dfcb4d3a254d2cd0092124ae0a1ac2ffb4224fbeab07c51c58b823b04fc8c9a"

@@ -53,7 +53,12 @@ def make_world(tmp, t, rng):
     )
     at, cg = b"AT", b"CG"
     rows, fa_entries = [], []
-    n_samples = int(rng.integers(1, 8))
+    # include cohorts well past 8 samples: numpy's pairwise summation
+    # equals the reference's sequential center accumulation only for
+    # <=8 addends, so small-N trials cannot discriminate the %.19Lg
+    # center parity (the round-5 cumsum fix) — mix tiny and wide
+    n_samples = int(rng.integers(1, 8) if rng.random() < 0.5
+                    else rng.integers(9, 65))
     sample_ids = [f"S{i}" for i in range(n_samples)]
     for s_i, pos in enumerate(positions):
         ref_base = genome[pos - 1]

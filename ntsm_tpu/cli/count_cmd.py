@@ -41,6 +41,12 @@ HELP = """Usage: ntsm count -s [FASTA] [OPTION]... [FILES...]
                          batches between snapshots [64].
       --trace = STR      ntsm_tpu extension: write a jax.profiler trace of
                          the device pipeline to this directory.
+      --seglen = INT     ntsm_tpu extension: device segment length [256].
+                         512 shaves upload bytes/base (halo + sidecar
+                         amortize over more slots; BASELINE.md seglen
+                         A/B) at 2x the per-batch candidate budget
+                         pressure; batch rows scale inversely so the
+                         bases/step stay constant.
       --distributed      ntsm_tpu extension: multi-host mode. Initializes
                          jax.distributed (from JAX_COORDINATOR_ADDRESS /
                          JAX_NUM_PROCESSES / JAX_PROCESS_ID or pod
@@ -72,6 +78,7 @@ def run(argv) -> int:
                 "checkpoint=",
                 "checkpoint-every=",
                 "trace=",
+                "seglen=",
                 "distributed",
             ],
         )
@@ -109,6 +116,16 @@ def run(argv) -> int:
             opts = opts.replace(checkpoint=val)
         elif flag == "--checkpoint-every":
             opts = opts.replace(checkpoint_every=int(val))
+        elif flag == "--seglen":
+            L = int(val)
+            if L < 64 or L % 8:
+                print("ntsm count: --seglen must be a multiple of 8, >= 64",
+                      file=sys.stderr)
+                return 1
+            opts = opts.replace(
+                segment_len=L,
+                batch_reads=max(1, opts.batch_reads * 256 // L),
+            )
         elif flag == "--trace":
             opts = opts.replace(trace=val)
         elif flag == "--distributed":

@@ -175,3 +175,23 @@ def test_v2_topk_overflow_fallback(rng, tmp_path, monkeypatch):
     np.testing.assert_array_equal(res.counts, golden.counts)
     assert res.total_hits == golden.total_hits
     assert res.total_kmers == golden.total_kmers
+
+
+def test_cli_seglen_extension(rng, tmp_path, capsys):
+    """--seglen 512 counts byte-identically to the default 256 (the
+    k-mer multiset is segmentation-invariant by the k-1 halo)."""
+    import ntsm_tpu.cli.count_cmd as cc
+
+    sites = str(tmp_path / "sites.fa")
+    _, site_list = make_site_fasta(rng, n_sites=12, path=sites)
+    fq = str(tmp_path / "reads.fq")
+    make_reads_fastq(rng, site_list, coverage=6, genotype="het", path=fq)
+    rc = cc.run(["--engine", "golden", "-s", sites, fq])
+    assert rc == 0
+    base = capsys.readouterr().out
+    # the 512 path through the REAL v3 pipeline (CPU backend in tests):
+    # proves the device engine at the alternate segment shape, not just
+    # the flag parse
+    rc = cc.run(["--seglen", "512", "-s", sites, fq])
+    assert rc == 0
+    assert capsys.readouterr().out == base

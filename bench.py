@@ -59,6 +59,7 @@ def main() -> None:
         os._exit(2)
 
     _timeout_s = float(os.environ.get("NTSM_BENCH_TIMEOUT_S", "1800"))
+    _watchdog = None
     if _timeout_s > 0:  # 0 disables the watchdog (matches the old alarm(0))
         _watchdog = threading.Timer(_timeout_s, _give_up)
         _watchdog.daemon = True
@@ -134,7 +135,8 @@ def main() -> None:
     dt = time.perf_counter() - t0
     bases_per_s = iters * B * L / dt
 
-    _watchdog.cancel()
+    if _watchdog is not None:
+        _watchdog.cancel()
     print(
         json.dumps(
             {

@@ -172,6 +172,16 @@ def load():
                 ctypes.c_void_p,  # ss f64 [P]
                 ctypes.c_void_p,  # tallies i64 [P,8]
             ]
+        if hasattr(lib, "ntsm_project_exact"):
+            lib.ntsm_project_exact.restype = None
+            lib.ntsm_project_exact.argtypes = [
+                ctypes.c_void_p,  # vals f64 [n, L]
+                ctypes.c_void_p,  # rotT long double [L, dim], C-contig
+                ctypes.c_long,  # n
+                ctypes.c_long,  # L
+                ctypes.c_long,  # dim
+                ctypes.c_void_p,  # out f64 [n, dim]
+            ]
         if hasattr(lib, "ntsm_format_eval_rows"):
             lib.ntsm_format_eval_rows.restype = ctypes.c_long
             lib.ntsm_format_eval_rows.argtypes = [

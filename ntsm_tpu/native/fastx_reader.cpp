@@ -30,6 +30,10 @@
 namespace {
 
 constexpr size_t CHUNK = 1 << 20;
+// digit-accumulation cap: one more digit past this would overflow
+// int64, so the parser returns -1 (falling back to the checked Python
+// path) instead of wrapping silently
+constexpr int64_t kDIG_MAX = (9223372036854775807LL - 9) / 10;
 
 struct GzFile {
     FILE* fp = nullptr;
@@ -45,6 +49,7 @@ struct GzFile {
         if (!fp) return false;
         in.resize(CHUNK);
         in_len = std::fread(in.data(), 1, CHUNK, fp);
+        if (std::ferror(fp)) io_error = true;
         in_pos = 0;
         if (in_len >= 2 && in[0] == 0x1f && in[1] == 0x8b) {
             gz = true;
@@ -154,6 +159,11 @@ struct GzFile {
             }
             if (got < want && fp && !std::feof(fp)) {
                 got += std::fread(buf + got, 1, want - got, fp);
+                // a mid-stream disk error must surface as the batch
+                // call's -1 (the gz path already latches io_error);
+                // short-read-at-ferror otherwise looks like clean EOF
+                // and counts would silently come from a partial file
+                if (std::ferror(fp)) io_error = true;
             }
             return got;
         }
@@ -176,10 +186,17 @@ struct GzFile {
     }
 
     void close() {
-        if (gz) inflateEnd(&zs);
+        if (gz) {
+            inflateEnd(&zs);
+            gz = false;  // idempotent: the destructor closes too
+        }
         if (fp) std::fclose(fp);
         fp = nullptr;
     }
+
+    // a Reader deleted mid-file (early termination, a consumer breaking
+    // out of the batch generator) must not leak the fd + inflate state
+    ~GzFile() { close(); }
 };
 
 struct LineReader {
@@ -192,6 +209,7 @@ struct LineReader {
         buf.resize(CHUNK);
         pos = len = 0;
         eof = false;
+        f.close();  // idempotent; the fresh-state assign must not leak
         f = GzFile{};
         return f.open(path);
     }
@@ -557,6 +575,7 @@ extern "C" long ntsm_parse_counts(const uint8_t* buf, long len, int64_t* ints,
                 long v = 0;
                 for (const uint8_t* q = p + 5; q < e; ++q) {
                     if (*q < '0' || *q > '9') return -1;
+                    if (v > kDIG_MAX) return -1;
                     v = v * 10 + (*q - '0');
                 }
                 if (p[2] == 'T')
@@ -585,7 +604,10 @@ extern "C" long ntsm_parse_counts(const uint8_t* buf, long len, int64_t* ints,
             }
             if (q >= e || *q < '0' || *q > '9') return -1;
             int64_t v = 0;
-            while (q < e && *q >= '0' && *q <= '9') v = v * 10 + (*q++ - '0');
+            while (q < e && *q >= '0' && *q <= '9') {
+                if (v > kDIG_MAX) return -1;
+                v = v * 10 + (*q++ - '0');
+            }
             ints[rows * 6 + col] = neg ? -v : v;
             if (col < 5) {
                 if (q >= e || *q != '\t') return -1;
@@ -691,6 +713,7 @@ extern "C" long ntsm_parse_counts2(const uint8_t* buf, long len, int32_t* mc,
                 long v = 0;
                 for (const uint8_t* q = p + 5; q < e; ++q) {
                     if (*q < '0' || *q > '9') return -1;
+                    if (v > kDIG_MAX) return -1;
                     v = v * 10 + (*q - '0');
                 }
                 if (p[2] == 'T')
@@ -722,6 +745,7 @@ extern "C" long ntsm_parse_counts2(const uint8_t* buf, long len, int32_t* mc,
             int64_t v = d;
             ++q;
             while ((d = static_cast<unsigned>(*q) - '0') <= 9u) {
+                if (v > kDIG_MAX) return -1;
                 v = v * 10 + d;
                 ++q;
             }
@@ -764,6 +788,7 @@ extern "C" long ntsm_parse_counts2(const uint8_t* buf, long len, int32_t* mc,
                 long v = 0;
                 for (const uint8_t* q = p + 5; q < e; ++q) {
                     if (*q < '0' || *q > '9') return -1;
+                    if (v > kDIG_MAX) return -1;
                     v = v * 10 + (*q - '0');
                 }
                 if (p[2] == 'T')
@@ -791,8 +816,10 @@ extern "C" long ntsm_parse_counts2(const uint8_t* buf, long len, int32_t* mc,
                 }
                 if (q >= e || *q < '0' || *q > '9') return -1;
                 int64_t v = 0;
-                while (q < e && *q >= '0' && *q <= '9')
+                while (q < e && *q >= '0' && *q <= '9') {
+                    if (v > kDIG_MAX) return -1;
                     v = v * 10 + (*q++ - '0');
+                }
                 cols[col] = neg ? -v : v;
                 if (col < 5) {
                     if (q >= e || *q != '\t') return -1;
@@ -868,6 +895,7 @@ extern "C" long ntsm_parse_counts3(const uint8_t* buf, long len, uint16_t* wa,
                     long v = 0;
                     for (const uint8_t* q = p + 5; q < e; ++q) {
                         if (*q < '0' || *q > '9') return -1;
+                        if (v > kDIG_MAX) return -1;
                         v = v * 10 + (*q - '0');
                     }
                     if (p[2] == 'T')
@@ -891,6 +919,7 @@ extern "C" long ntsm_parse_counts3(const uint8_t* buf, long len, uint16_t* wa,
                     long v = 0;
                     for (const uint8_t* q = p + 5; q < e; ++q) {
                         if (*q < '0' || *q > '9') return -1;
+                        if (v > kDIG_MAX) return -1;
                         v = v * 10 + (*q - '0');
                     }
                     if (p[2] == 'T')
@@ -929,6 +958,7 @@ extern "C" long ntsm_parse_counts3(const uint8_t* buf, long len, uint16_t* wa,
             ++q;
             while ((fast || q < e) &&
                    (d = static_cast<unsigned>(*q) - '0') <= 9u) {
+                if (v > kDIG_MAX) return -1;
                 v = v * 10 + d;
                 ++q;
             }

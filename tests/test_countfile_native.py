@@ -205,3 +205,18 @@ def test_wire_loader_u16_escalation_mid_parse(tmp_path):
         np.testing.assert_array_equal(wa[s, :9], mx[:, 0])
         np.testing.assert_array_equal(wb[s, :9], mx[:, 1])
     assert int(wb[2, 4]) == 41_000
+
+
+def test_overflowing_count_column_falls_back(tmp_path):
+    """A >=20-digit count column must route to the checked fallback (the
+    native digit loops return -1 at the int64 cap) instead of wrapping
+    silently into a small valid-looking value."""
+    from ntsm_tpu.io.countfile import _parse_native
+
+    p = tmp_path / "c.txt"
+    p.write_text(
+        "#@TK\t100\n#@KS\t19\n"
+        "locusID\tcountAT\tcountCG\tsumAT\tsumCG\tdistinctAT\tdistinctCG\n"
+        "rs1\t18446744073709551617\t3\t4\t5\t6\t7\n"
+    )
+    assert _parse_native(str(p)) is None

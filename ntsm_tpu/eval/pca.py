@@ -114,6 +114,48 @@ class _ProjScratch:
         self.keep, self.low = (np.zeros((blk, L), bool) for _ in range(2))
 
 
+_DSIZE = {np.dtype(np.uint8): 1, np.dtype(np.uint16): 2,
+          np.dtype(np.int32): 4, np.dtype(np.int64): 8}
+
+
+def _quantize_vals_native(ab, bb, normv, mc, valsm) -> bool:
+    """ntsm_quantize_vals when available and the inputs qualify
+    (C-contiguous integer count rows, f64 centers); False -> numpy."""
+    import ctypes
+
+    from ntsm_tpu import native
+
+    lib = native.load()
+    ds = _DSIZE.get(ab.dtype)
+    it = ab.dtype.itemsize if ds else 0
+    if (
+        lib is None
+        or not hasattr(lib, "ntsm_quantize_vals")
+        or ds is None
+        or bb.dtype != ab.dtype
+        # unit column stride; rows may be a [m, :L] view of [m, Lp]
+        or ab.strides[1] != it
+        or bb.strides[1] != it
+        or ab.strides[0] % it
+        or bb.strides[0] % it
+        or normv.dtype != np.float64
+        or not normv.flags.c_contiguous
+    ):
+        return False
+    m, L = ab.shape
+    lib.ntsm_quantize_vals(
+        ab.ctypes.data_as(ctypes.c_void_p),
+        bb.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(ds), ctypes.c_long(m), ctypes.c_long(L),
+        ctypes.c_long(ab.strides[0] // it),
+        ctypes.c_long(bb.strides[0] // it),
+        normv.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_double(mc),
+        valsm.ctypes.data_as(ctypes.c_void_p),
+    )
+    return True
+
+
 def _project_rows(sc: _ProjScratch, ab, bb, normv, rotT, mc, out) -> None:
     """Project one row block: quantize {0, 0.5, 1} (reference sign-test
     thresholds), zero missing sites, subtract centers, rotate.  ab/bb:
@@ -122,6 +164,14 @@ def _project_rows(sc: _ProjScratch, ab, bb, normv, rotT, mc, out) -> None:
     m = ab.shape[0]
     cam, cbm, denm, gm = sc.ca[:m], sc.cb[:m], sc.den[:m], sc.g[:m]
     valsm, keepm, lowm = sc.vals[:m], sc.keep[:m], sc.low[:m]
+    if valsm.dtype == np.float64 and _quantize_vals_native(
+        ab, bb, normv, mc, valsm
+    ):
+        # one-sweep native quantize (bitwise-identical f64 vals; the
+        # numpy form below moves ~1.9 GB of scratch per 128-row block —
+        # the -p load's largest host term — and holds the GIL)
+        np.matmul(valsm, rotT, out=out)
+        return
     # ca/cb = where(count > mc, count, 0) as f64 (exact small ints)
     np.copyto(cam, ab)
     np.greater(ab, mc, out=keepm)

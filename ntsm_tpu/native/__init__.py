@@ -182,6 +182,20 @@ def load():
                 ctypes.c_long,  # dim
                 ctypes.c_void_p,  # out f64 [n, dim]
             ]
+        if hasattr(lib, "ntsm_quantize_vals"):
+            lib.ntsm_quantize_vals.restype = None
+            lib.ntsm_quantize_vals.argtypes = [
+                ctypes.c_void_p,  # a counts [m, L]
+                ctypes.c_void_p,  # b counts [m, L]
+                ctypes.c_int,  # dsize 1/2/4/8
+                ctypes.c_long,  # m
+                ctypes.c_long,  # L
+                ctypes.c_long,  # a row pitch (elements)
+                ctypes.c_long,  # b row pitch (elements)
+                ctypes.c_void_p,  # norm f64 [L]
+                ctypes.c_double,  # min_cov
+                ctypes.c_void_p,  # vals f64 [m, L] out
+            ]
         if hasattr(lib, "ntsm_format_eval_rows"):
             lib.ntsm_format_eval_rows.restype = ctypes.c_long
             lib.ntsm_format_eval_rows.argtypes = [

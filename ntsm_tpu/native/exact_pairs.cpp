@@ -134,3 +134,52 @@ void ntsm_project_exact(const double* vals, const long double* rotT,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// One-sweep genotype quantization for the fast (f64) PCA projection:
+// vals[i,j] = quantize(counts) - norm[j] with the exact arithmetic of
+// eval/pca.py:_project_rows' numpy passes (g = f64(ca)/f64(den), the
+// reference's 0.25/0.75 sign tests, exact 0.0 for missing sites) — one
+// read+write pass instead of ~19 full-width numpy passes (the numpy
+// form moves ~1.9 GB per 128-row block and is the -p load's largest
+// host term).  dsize selects the count dtype: 1=u8, 2=u16, 4=i32,
+// 8=i64.  ctypes releases the GIL for the call, so the parse thread
+// keeps running while a block quantizes.
+// apitch/bpitch: row strides in ELEMENTS (the eval wire hands [m, :L]
+// column views of [m, Lp] planes, so pitch >= L).
+void ntsm_quantize_vals(const void* a, const void* b, int dsize, long m,
+                        long L, long apitch, long bpitch,
+                        const double* norm, double mc, double* vals) {
+  for (long i = 0; i < m; ++i) {
+    const uint8_t* a8 = static_cast<const uint8_t*>(a) + i * apitch * dsize;
+    const uint8_t* b8 = static_cast<const uint8_t*>(b) + i * bpitch * dsize;
+    double* v = vals + i * L;
+    for (long j = 0; j < L; ++j) {
+      double av, bv;
+      switch (dsize) {
+        case 1: av = a8[j]; bv = b8[j]; break;
+        case 2: av = reinterpret_cast<const uint16_t*>(a8)[j];
+                bv = reinterpret_cast<const uint16_t*>(b8)[j]; break;
+        case 4: av = reinterpret_cast<const int32_t*>(a8)[j];
+                bv = reinterpret_cast<const int32_t*>(b8)[j]; break;
+        default: av = static_cast<double>(
+                     reinterpret_cast<const int64_t*>(a8)[j]);
+                 bv = static_cast<double>(
+                     reinterpret_cast<const int64_t*>(b8)[j]);
+      }
+      double ca = av > mc ? av : 0.0;
+      double cb = bv > mc ? bv : 0.0;
+      double den = ca + cb;
+      if (den == 0.0) {
+        v[j] = 0.0;  // missing sites stay EXACTLY 0.0 (not 0 - center)
+      } else {
+        double g = ca / den;
+        double q = (g - 0.25) < 0.0 ? 0.0 : (g - 0.75) < 0.0 ? 0.5 : 1.0;
+        v[j] = q - norm[j];
+      }
+    }
+  }
+}
+
+}  // extern "C"

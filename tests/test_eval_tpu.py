@@ -550,3 +550,38 @@ def test_packed_wide_tier_beyond_17_bits(rng):
     score, n, rel = pair_score(data, 0, 1, opts)
     assert int(st["n"][0]) == n
     assert float(st["score"][0]) == pytest.approx(score, rel=5e-6, abs=5e-6)
+
+
+def test_native_quantize_boundary_genotypes():
+    """g hits the 0.25/0.75 thresholds EXACTLY (a=1,b=3 and a=3,b=1):
+    the native one-sweep quantize must take the same sign-test branches
+    as the numpy passes, bitwise."""
+    import numpy as np
+
+    import ntsm_tpu.eval.pca as P
+
+    L = 640
+    a = np.zeros((4, L), np.uint8)
+    b = np.zeros((4, L), np.uint8)
+    # row 0: g = 0.25 exactly; row 1: g = 0.75; row 2: g = 0.5; row 3: missing
+    a[0], b[0] = 2, 6
+    a[1], b[1] = 6, 2
+    a[2], b[2] = 4, 4
+    normv = np.linspace(0.1, 0.9, L)
+    rotT = np.ascontiguousarray(
+        np.linspace(-0.5, 0.5, L * 3).reshape(L, 3)
+    )
+    sc = P._ProjScratch(4, L, fast=True)
+    o_native = np.empty((4, 3))
+    P._project_rows(sc, a, b, normv, rotT, 1.0, o_native)
+    real = P._quantize_vals_native
+    try:
+        P._quantize_vals_native = lambda *args: False
+        sc2 = P._ProjScratch(4, L, fast=True)
+        o_np = np.empty((4, 3))
+        P._project_rows(sc2, a, b, normv, rotT, 1.0, o_np)
+    finally:
+        P._quantize_vals_native = real
+    np.testing.assert_array_equal(
+        o_native.view(np.uint64), o_np.view(np.uint64)
+    )

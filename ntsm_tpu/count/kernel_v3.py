@@ -68,6 +68,28 @@ def breaks_sidecar(codes: np.ndarray, lengths: np.ndarray):
 
     B, L = codes.shape
     lens = lengths.astype(np.int32)
+    from ntsm_tpu import native
+
+    lib = native.load()
+    if (
+        lib is not None
+        and hasattr(lib, "ntsm_breaks_sidecar")
+        and codes.dtype == np.uint8
+        and codes.flags.c_contiguous
+    ):
+        # one C scan (~2 ms/batch) instead of three [B, L] numpy passes
+        # (~32 ms — 60% of the per-batch host budget at 80 Mbase/s)
+        import ctypes
+
+        lens = np.ascontiguousarray(lens)
+        side = np.empty((B, SIDE_BYTES), np.uint8)
+        rc = lib.ntsm_breaks_sidecar(
+            codes.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_long(B), ctypes.c_long(L), ctypes.c_int(SIDE_MAXB),
+            side.ctypes.data_as(ctypes.c_void_p),
+        )
+        return side if rc == 0 else None
     inv_mask = codes > 3
     inv_mask &= np.arange(L, dtype=np.int32)[None, :] < lens[:, None]
     cnt = np.count_nonzero(inv_mask, axis=1)

@@ -182,6 +182,16 @@ def load():
                 ctypes.c_long,  # dim
                 ctypes.c_void_p,  # out f64 [n, dim]
             ]
+        if hasattr(lib, "ntsm_breaks_sidecar"):
+            lib.ntsm_breaks_sidecar.restype = ctypes.c_int
+            lib.ntsm_breaks_sidecar.argtypes = [
+                ctypes.c_void_p,  # codes u8 [B, L]
+                ctypes.c_void_p,  # lengths i32 [B]
+                ctypes.c_long,  # B
+                ctypes.c_long,  # L
+                ctypes.c_int,  # maxb
+                ctypes.c_void_p,  # side u8 [B, 2+2*maxb] out
+            ]
         if hasattr(lib, "ntsm_quantize_vals"):
             lib.ntsm_quantize_vals.restype = None
             lib.ntsm_quantize_vals.argtypes = [

@@ -1077,3 +1077,40 @@ extern "C" long ntsm_format_eval_rows(
     }
     return (long)(p - outbuf);
 }
+
+extern "C" {
+
+// Host side of the BREAKS wire in one pass (the numpy form costs
+// ~32 ms per 32768x256 batch — 60% of the per-batch host budget at
+// 80 Mbase/s — via three [B, L] mask/nonzero passes; this scan is
+// ~2 ms).  side layout per kernel_v2.SIDE_*: row_len u16 LE + maxb
+// u16 LE invalid positions, 0xFFFF pad.  Returns 0, or -1 when any
+// row has more than maxb in-length invalid slots (caller ships the
+// legacy vbits wire for the batch).
+int ntsm_breaks_sidecar(const uint8_t* codes, const int32_t* lengths,
+                        long B, long L, int maxb, uint8_t* side) {
+    const long sbytes = 2 + 2 * static_cast<long>(maxb);
+    for (long r = 0; r < B; ++r) {
+        const uint8_t* row = codes + r * L;
+        uint8_t* s = side + r * sbytes;
+        const int32_t len = lengths[r];
+        s[0] = static_cast<uint8_t>(len & 0xFF);
+        s[1] = static_cast<uint8_t>((len >> 8) & 0xFF);
+        int n = 0;
+        for (int32_t j = 0; j < len; ++j) {
+            if (row[j] > 3) {
+                if (n == maxb) return -1;
+                s[2 + 2 * n] = static_cast<uint8_t>(j & 0xFF);
+                s[3 + 2 * n] = static_cast<uint8_t>((j >> 8) & 0xFF);
+                ++n;
+            }
+        }
+        for (; n < maxb; ++n) {
+            s[2 + 2 * n] = 0xFF;
+            s[3 + 2 * n] = 0xFF;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
